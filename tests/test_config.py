@@ -1,0 +1,90 @@
+"""Unit tests for the kernel config space (tpul2.config)."""
+
+import jax.numpy as jnp
+import pytest
+
+from tpul2.config import (
+    DEFAULT_VMEM_BUDGET,
+    KernelConfig,
+    candidate_configs,
+    heuristic_config,
+)
+
+
+def test_default_config_valid():
+    assert KernelConfig().validate(jnp.bfloat16) is None
+
+
+def test_sublane_alignment_rejected():
+    # bf16 sublane is 16: bm=8 invalid for bf16, valid for f32.
+    cfg = KernelConfig(bm=8, bn=128, bk=128)
+    assert cfg.validate(jnp.bfloat16) is not None
+    assert cfg.validate(jnp.float32) is None
+
+
+def test_lane_alignment_rejected():
+    assert KernelConfig(bm=16, bn=64, bk=128).validate(jnp.bfloat16)
+    assert KernelConfig(bm=16, bn=128, bk=64).validate(jnp.bfloat16)
+
+
+def test_vmem_budget_rejected():
+    big = KernelConfig(bm=512, bn=2048, bk=16384)
+    assert "vmem" in (big.validate(jnp.bfloat16) or "")
+
+
+def test_vmem_model_counts_double_buffering():
+    cfg = KernelConfig(bm=128, bn=128, bk=128)
+    # 2*(a+b) + 2*out + acc, bf16 in/out, f32 acc
+    expect = 2 * (128 * 128 * 2 + 128 * 128 * 2) + 2 * 128 * 128 * 2 \
+        + 128 * 128 * 4
+    assert cfg.vmem_bytes(jnp.bfloat16, jnp.bfloat16) == expect
+
+
+def test_bf16_acc_halves_scratch():
+    f32 = KernelConfig(acc_dtype="float32")
+    bf16 = KernelConfig(acc_dtype="bfloat16")
+    assert bf16.vmem_bytes() < f32.vmem_bytes()
+
+
+def test_json_roundtrip():
+    cfg = KernelConfig(bm=32, bn=256, bk=512, acc_dtype="bfloat16",
+                       grid_order="nm")
+    assert KernelConfig.from_json(cfg.to_json()) == cfg
+
+
+def test_heuristic_always_valid():
+    shapes = [(64, 64, 64), (1, 4096, 11008), (16384, 16384, 16384),
+              (7, 13, 100003 % 9999), (512, 128, 2048)]
+    for (m, n, k) in shapes:
+        for acc in ("float32", "bfloat16"):
+            cfg = heuristic_config(m, n, k, acc)
+            assert cfg.validate(jnp.bfloat16) is None, (m, n, k, acc)
+
+
+def test_candidates_valid_and_include_xla():
+    cands = candidate_configs(4096, 4096, 4096)
+    assert len(cands) > 4
+    assert cands[-1].use_xla
+    for c in cands[:-1]:
+        assert c.validate(jnp.bfloat16, DEFAULT_VMEM_BUDGET) is None
+
+
+def test_candidates_skinny_shape_low_waste():
+    # LLM-serving shape: M=8, big N/K — candidates must not pad M to 512.
+    cands = candidate_configs(8, 4096, 4096)
+    real = [c for c in cands if not c.use_xla]
+    assert all(c.padding_waste(8, 4096, 4096) <= 0.6 for c in real)
+    assert any(c.bm == 16 for c in real)
+
+
+def test_grid_for_order():
+    cfg = KernelConfig(bm=128, bn=256, bk=512, grid_order="nm")
+    assert cfg.grid_for(256, 512, 1024) == (2, 2, 2)
+    cfg2 = KernelConfig(bm=128, bn=256, bk=512, grid_order="mn")
+    assert cfg2.grid_for(384, 256, 512) == (3, 1, 1)
+
+
+def test_padding_waste():
+    cfg = KernelConfig(bm=128, bn=128, bk=128)
+    assert cfg.padding_waste(128, 128, 128) == 0.0
+    assert cfg.padding_waste(64, 128, 128) == pytest.approx(0.5)

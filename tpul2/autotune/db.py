@@ -1,0 +1,119 @@
+"""Persistent per-shape tuning database — the 'kernel zoo' artifact.
+
+The reference ships its search results as 3,736 checked-in ``.cu`` files, one
+per (M, N, K) × (device, acc) (SURVEY.md C9); 'which file exists' IS its
+database, selected at build time (tools/utils.py:50).  tpul2 stores the same
+information as data: (M, N, K, acc, in_dtype, tpu_gen) → best KernelConfig +
+measured TFLOPS.  This also covers the checkpoint/resume gap called out in
+SURVEY.md §5: tuning runs are resumable — already-tuned shapes are skipped.
+
+Storage is a human-diffable JSON file; a C++ fast-lookup mirror lives in
+tpul2.native (the role of the reference's compiled pybind dispatch layer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+
+from tpul2.config import KernelConfig
+from tpul2.utils.platform import tpu_generation
+
+_DATA_DIR = Path(__file__).resolve().parent.parent / "data"
+
+
+def _key(m: int, n: int, k: int, acc: str, in_dtype) -> str:
+    return f"{m}_{n}_{k}/{acc}/{jnp.dtype(in_dtype).name}"
+
+
+class TuneDB:
+    """Thread-safe JSON-backed map: shape key → (config, tflops)."""
+
+    def __init__(self, path: Optional[os.PathLike] = None,
+                 gen: Optional[str] = None):
+        self.gen = gen or tpu_generation()
+        if path is None:
+            path = os.environ.get("TPUL2_TUNEDB") or (
+                _DATA_DIR / f"tunedb_{self.gen}.json")
+        self.path = Path(path)
+        self._lock = threading.Lock()
+        self._entries: dict = {}
+        self._loaded = False
+
+    # ---- persistence ----
+    def load(self) -> "TuneDB":
+        with self._lock:
+            if self.path.exists():
+                raw = json.loads(self.path.read_text())
+                self._entries = raw.get("entries", {})
+            self._loaded = True
+        return self
+
+    def save(self) -> None:
+        with self._lock:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = self.path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(
+                {"gen": self.gen, "version": 1, "entries": self._entries},
+                indent=1, sort_keys=True))
+            tmp.replace(self.path)
+
+    def _ensure(self):
+        if not self._loaded:
+            self.load()
+
+    # ---- access ----
+    def get(self, m: int, n: int, k: int, acc: str = "float32",
+            in_dtype=jnp.bfloat16) -> Optional[KernelConfig]:
+        self._ensure()
+        e = self._entries.get(_key(m, n, k, acc, in_dtype))
+        return KernelConfig(**e["config"]) if e else None
+
+    def get_entry(self, m: int, n: int, k: int, acc: str = "float32",
+                  in_dtype=jnp.bfloat16) -> Optional[dict]:
+        self._ensure()
+        return self._entries.get(_key(m, n, k, acc, in_dtype))
+
+    def put(self, m: int, n: int, k: int, config: KernelConfig,
+            tflops: float, acc: str = "float32", in_dtype=jnp.bfloat16,
+            extra: Optional[dict] = None) -> None:
+        self._ensure()
+        import dataclasses
+        entry = {"config": dataclasses.asdict(config),
+                 "tflops": float(tflops)}
+        if extra:
+            entry.update(extra)
+        with self._lock:
+            self._entries[_key(m, n, k, acc, in_dtype)] = entry
+
+    def __len__(self) -> int:
+        self._ensure()
+        return len(self._entries)
+
+    def keys(self):
+        self._ensure()
+        return list(self._entries)
+
+
+_default_db: Optional[TuneDB] = None
+_default_lock = threading.Lock()
+
+
+def default_db() -> TuneDB:
+    global _default_db
+    with _default_lock:
+        if _default_db is None:
+            _default_db = TuneDB().load()
+        return _default_db
+
+
+def reset_default_db() -> None:
+    """Testing hook: drop the cached default DB (e.g. after env change)."""
+    global _default_db
+    with _default_lock:
+        _default_db = None

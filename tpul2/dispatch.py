@@ -1,0 +1,70 @@
+"""Shape-dispatched matmul entry point.
+
+Replaces the reference's static build-time dispatch (SURVEY.md L2/L3: the
+shape is baked in by choosing which .cu file to compile, tools/utils.py:50,
+and pybind/*.cc exposes one ``cuda_l2_<dev>_<acc>`` symbol per build).  On
+TPU the equivalent decision — which kernel configuration serves this
+(M, N, K, acc) — happens at trace time: tuned config from the tuning DB,
+else heuristic, else XLA's stock dot_general.
+
+``matmul`` is the drop-in public API; ``cuda_l2_tpu_f32`` / ``cuda_l2_tpu_bf16``
+mirror the reference's exported symbol names and ABI
+(pybind/hgemm_a100_fp32.cc:27 exports cuda_l2_a100_fp32(a, b, b_col_major, c))
+so the benchmark/correctness harnesses can treat candidate and baselines
+uniformly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpul2.config import KernelConfig, heuristic_config
+from tpul2.ops.matmul import pallas_matmul
+
+
+def resolve_config(m: int, n: int, k: int, acc: str = "float32",
+                   in_dtype=jnp.bfloat16) -> KernelConfig:
+    """Tuning-DB lookup → heuristic fallback (never fails)."""
+    from tpul2.autotune.db import default_db
+    cfg = default_db().get(m, n, k, acc, in_dtype)
+    if cfg is not None:
+        return cfg
+    return heuristic_config(m, n, k, acc, in_dtype)
+
+
+def matmul(a: jax.Array, b: jax.Array, *,
+           acc: str = "float32",
+           out_dtype=None,
+           config: Optional[KernelConfig] = None,
+           interpret: Optional[bool] = None) -> jax.Array:
+    """Tuned C = A @ B.  a: (M, K), b: (K, N).
+
+    acc: 'float32' (reference F32F16F16F32 family) or 'bfloat16'
+    (F16F16F16F16 family).  config overrides the DB/heuristic choice.
+    """
+    m, k = a.shape
+    n = b.shape[1]
+    if config is None:
+        config = resolve_config(m, n, k, acc, a.dtype)
+    if config.use_xla:
+        out = jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        return out.astype(out_dtype or a.dtype)
+    return pallas_matmul(a, b, config=config, out_dtype=out_dtype,
+                         interpret=interpret)
+
+
+def cuda_l2_tpu_f32(a, b, b_t):
+    """Candidate entry, f32-accumulator family (harness ABI: (a, b, b_t))."""
+    return matmul(a, b, acc="float32")
+
+
+def cuda_l2_tpu_bf16(a, b, b_t):
+    """Candidate entry, bf16-accumulator family (harness ABI: (a, b, b_t))."""
+    return matmul(a, b, acc="bfloat16")
+
+
+def candidate_fn(acc: str = "float32"):
+    return cuda_l2_tpu_f32 if acc == "float32" else cuda_l2_tpu_bf16

@@ -1,0 +1,175 @@
+"""Parameterized Pallas MXU matmul — the kernel generator.
+
+TPU-native replacement for the reference kernel zoo (SURVEY.md C9:
+``kernels/{3090,a100,h100}_*/M_N_K.cu``, 3,736 files, one frozen tactic per
+shape).  One template, every shape: the (M, N, K) problem is tiled onto a
+(grid_m, grid_n, grid_k) Pallas grid; each grid step loads one (bm, bk) block
+of A and one (bk, bn) block of B into VMEM (Mosaic double-buffers the HBM→VMEM
+DMAs across steps — the role of the reference's multi-stage ``cp.async``
+pipeline, kernels/a100_F32F16F16F32/4096_4096_4096.cu:88-141), feeds the MXU
+via ``jnp.dot(..., preferred_element_type=f32)`` (the role of the
+SM80_16x8x16 MMA atoms), and carries a (bm, bn) accumulator in VMEM scratch
+across the K steps (the role of the register-file accumulator fragments).
+The epilogue casts the accumulator to the output dtype on the final K step
+(the role of the smem-staged r2s→s2g epilogue, ibid.:143-176).
+
+Shape contract (mirrors reference caller-side padding, SURVEY.md C3):
+inputs of ANY shape are zero-padded here to block multiples and the output
+sliced back — never in-kernel predication, same design choice as the
+reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpul2.config import KernelConfig
+from tpul2.utils.padding import pad_operands
+from tpul2.utils.platform import default_interpret
+
+
+def _kernel_multi_k(a_ref, b_ref, o_ref, acc_ref, *, acc_dtype, out_dtype):
+    """Grid step with K-accumulation carry (grid_k > 1)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # MXU: one (bm, bk) x (bk, bn) block product, f32 MACs.
+    part = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+    acc_ref[:] = (acc_ref[:].astype(jnp.float32) + part).astype(acc_dtype)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _epilogue():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _kernel_single_k(a_ref, b_ref, o_ref, *, out_dtype):
+    """Grid step when the whole K dimension fits one block: no carry, no
+    scratch — the analogue of the reference's hand-rolled small-shape WMMA
+    kernels (SURVEY.md C9, e.g. kernels/h100_F32F16F16F32/64_64_64.cu)."""
+    o_ref[:] = jnp.dot(
+        a_ref[:], b_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
+                in_dtype, out_dtype, interpret: bool):
+    """Assemble the pallas_call for an already-padded (mp, np_, kp) problem."""
+    bm, bn, bk = cfg.bm, cfg.bn, cfg.bk
+    gm, gn, gk = mp // bm, np_ // bn, kp // bk
+    acc_dtype = jnp.dtype(cfg.acc_dtype)
+
+    mn_parallel = "parallel" if cfg.parallel_mn else "arbitrary"
+    dim_sem = (mn_parallel, mn_parallel, "arbitrary")
+
+    if cfg.grid_order == "mn":
+        grid = (gm, gn, gk)
+        a_map = lambda i, j, k: (i, k)  # noqa: E731
+        b_map = lambda i, j, k: (k, j)  # noqa: E731
+        o_map = lambda i, j, k: (i, j)  # noqa: E731
+    else:
+        grid = (gn, gm, gk)
+        a_map = lambda j, i, k: (i, k)  # noqa: E731
+        b_map = lambda j, i, k: (k, j)  # noqa: E731
+        o_map = lambda j, i, k: (i, j)  # noqa: E731
+
+    cost = pl.CostEstimate(
+        flops=2 * mp * np_ * kp,
+        bytes_accessed=(mp * kp + kp * np_) * jnp.dtype(in_dtype).itemsize
+        + mp * np_ * jnp.dtype(out_dtype).itemsize,
+        transcendentals=0,
+    )
+    params = {}
+    if cfg.vmem_limit_bytes is not None:
+        params["vmem_limit_bytes"] = int(cfg.vmem_limit_bytes)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=dim_sem, **params)
+
+    if gk == 1:
+        kernel = functools.partial(_kernel_single_k, out_dtype=out_dtype)
+        scratch = []
+    else:
+        kernel = functools.partial(
+            _kernel_multi_k, acc_dtype=acc_dtype, out_dtype=out_dtype)
+        scratch = [pltpu.VMEM((bm, bn), acc_dtype)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), a_map),
+            pl.BlockSpec((bk, bn), b_map),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), o_map),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=scratch,
+        compiler_params=compiler_params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+
+def _forward(a, b, cfg: KernelConfig, out_dtype, interpret: bool):
+    a_p, b_p, (m, n) = pad_operands(a, b, cfg.bm, cfg.bn, cfg.bk)
+    mp, kp = a_p.shape
+    _, np_ = b_p.shape
+    call = _build_call(mp, np_, kp, cfg, a.dtype, jnp.dtype(out_dtype),
+                       interpret)
+    out = call(a_p, b_p)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _matmul_vjp(a, b, cfg, out_dtype_name, interpret):
+    return _forward(a, b, cfg, jnp.dtype(out_dtype_name), interpret)
+
+
+def _matmul_fwd(a, b, cfg, out_dtype_name, interpret):
+    return _matmul_vjp(a, b, cfg, out_dtype_name, interpret), (a, b)
+
+
+def _matmul_bwd(cfg, out_dtype_name, interpret, res, g):
+    # Backward uses XLA dots (always correct, already MXU-optimal for the
+    # transposed layouts); the tuned kernel covers the forward hot path.
+    a, b = res
+    gf = g.astype(jnp.float32)
+    da = jnp.matmul(gf, b.astype(jnp.float32).T).astype(a.dtype)
+    db = jnp.matmul(a.astype(jnp.float32).T, gf).astype(b.dtype)
+    return da, db
+
+
+_matmul_vjp.defvjp(_matmul_fwd, _matmul_bwd)
+
+
+def pallas_matmul(a: jax.Array, b: jax.Array,
+                  config: Optional[KernelConfig] = None,
+                  out_dtype=None,
+                  interpret: Optional[bool] = None) -> jax.Array:
+    """C = A @ B with a tuned Pallas MXU kernel.
+
+    a: (M, K), b: (K, N), any shapes/dtypes XLA can cast to bf16/f32.
+    ``config`` selects the tile/grid point (see tpul2.config); callers
+    normally go through tpul2.dispatch.matmul which resolves the config
+    from the tuning DB.  Differentiable (backward via XLA dots).
+    """
+    cfg = config or KernelConfig()
+    if out_dtype is None:
+        out_dtype = a.dtype
+    if interpret is None:
+        interpret = default_interpret()
+
+    err = cfg.validate(a.dtype)
+    if err:
+        raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
+
+    return _matmul_vjp(a, b, cfg, jnp.dtype(out_dtype).name, bool(interpret))
