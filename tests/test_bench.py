@@ -1,0 +1,103 @@
+"""Benchmark harness tests (C5/C6/C7 parity) — tiny time budgets on CPU."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpul2.harness import bench_utils as bu
+from tpul2.harness.bench_offline import benchmark_offline
+from tpul2.harness.bench_server import benchmark_server
+from tpul2.harness.summarize import speedup_row, summarize_results
+
+
+def test_run_benchmark_and_tflops():
+    rng = np.random.default_rng(0)
+    a, b, b_t = bu.fresh_inputs(rng, 32, 128, 128)
+    assert a.shape == (32, 128) and b.shape == (128, 128)
+    assert b_t.shape == (128, 128)
+
+    def fn(a, b, b_t):
+        return jnp.matmul(a, b)
+
+    ms = bu.run_benchmark(fn, a, b, b_t)
+    assert ms > 0
+    assert bu.tflops(1024, 1024, 1024, 1.0) == pytest.approx(2.147, abs=0.01)
+
+
+def test_offline_writes_result(tmp_path):
+    r = benchmark_offline(32, 128, 128, "xla_matmul",
+                          warmup_seconds=0.2, benchmark_seconds=0.5,
+                          base_dir=str(tmp_path))
+    f = tmp_path / "benchmark_result_xla_matmul.json"
+    assert f.exists()
+    saved = json.loads(f.read_text())
+    assert saved["speedup"] > 0
+    assert saved["tpul2"]["iters"] >= 1
+    assert saved["xla_matmul"]["tflops_mean"] > 0
+    assert saved["version"] == bu.VERSION_STAMP
+
+
+def test_server_mode_poisson(tmp_path):
+    r = benchmark_server(32, 128, 128, "xla_dot_nn", target_qps=50.0,
+                         warmup_seconds=0.2, benchmark_seconds=0.7,
+                         base_dir=str(tmp_path))
+    assert r["mode"] == "server"
+    assert r["target_qps"] == 50.0
+    assert "p99_ms" in r["tpul2"]
+
+
+def test_server_requires_qps():
+    with pytest.raises(ValueError):
+        benchmark_server(32, 128, 128, "xla_matmul", target_qps=0)
+
+
+def test_unknown_perf_func():
+    with pytest.raises(ValueError):
+        benchmark_offline(32, 128, 128, "cublas")
+
+
+def test_summarize_and_max_rows(tmp_path):
+    # Synthesize results for a tn/nn pair with different speedups; the -max
+    # row must take the one LESS favorable to the candidate (C7 :43-53).
+    def fake(func, speedup):
+        return {
+            "mode": "offline", "mnk": [64, 64, 64], "acc": "float32",
+            "in_dtype": "bfloat16", "perf_func": func,
+            "version": bu.VERSION_STAMP,
+            "speedup": speedup,
+            func: {"tflops_mean": 1.0, "mean_ms": 1.0, "iters": 5},
+            "tpul2": {"tflops_mean": speedup, "mean_ms": 1.0 / speedup,
+                      "iters": 5},
+        }
+
+    for func, s in [("xla_dot_nn", 1.30), ("xla_dot_tn", 1.10),
+                    ("xla_matmul", 1.20)]:
+        (tmp_path / f"benchmark_result_{func}.json").write_text(
+            json.dumps(fake(func, s)))
+
+    md = summarize_results(str(tmp_path), write_path=str(tmp_path / "s.md"))
+    assert "XLA-dot-max" in md
+    assert "1.1000x" in md  # worst case of (1.30, 1.10)
+    assert (tmp_path / "s.md").exists()
+
+    row = speedup_row(str(tmp_path), (64, 64, 64))
+    assert row["mnk"] == "64x64x64"
+    assert row["XLA-dot-max"] == pytest.approx(1.10)
+    assert row["jnp.matmul"] == pytest.approx(1.20)
+
+
+def test_eval_one_shape_cli(tmp_path):
+    # End-to-end driver: gate -> 2 baselines -> summary (fail-fast pipeline).
+    import scripts.eval_one_shape as drv
+
+    rc = drv.main(["--mnk", "32", "128", "128", "--base_dir", str(tmp_path),
+                   "--warmup_seconds", "0.1", "--benchmark_seconds", "0.3",
+                   "--correctness_iters", "2",
+                   "--perf_funcs", "xla_matmul", "xla_dot_nn"])
+    assert rc == 0
+    assert (tmp_path / "summary.md").exists()
+    assert (tmp_path / "zero_one_correctness_check_result.json").exists()
+    row = json.loads((tmp_path / "speedup_row.json").read_text())
+    assert row["mnk"] == "32x128x128"

@@ -1,0 +1,91 @@
+"""Correctness-gate tests (C4 parity: exactness by input design, masking,
+canary)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpul2.config import KernelConfig
+from tpul2.harness.correctness import (
+    EXACT_BOUND,
+    canary_check,
+    compare_with_cpu_f32,
+    run_correctness_check,
+    zero_one_density,
+)
+
+
+def test_density_rule_bf16():
+    # bf16 bound 256: density shrinks with K so E[dot]=K p^2 stays ~64.
+    assert zero_one_density(64, "bfloat16") == 0.5
+    p = zero_one_density(16384, "bfloat16")
+    assert 16384 * p * p == pytest.approx(64.0)
+    # f32 out: no density restriction.
+    assert zero_one_density(16384, "float32") == 0.5
+
+
+def test_gate_passes_small_shape(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    from tpul2.autotune.db import reset_default_db
+    reset_default_db()
+    res = run_correctness_check(64, 128, 128, iterations=3, time_cap_s=30,
+                                result_path=str(tmp_path / "r.json"))
+    assert res["pass"], res
+    assert res["candidate_avg_max_diff"] == 0.0
+    assert (tmp_path / "r.json").exists()
+    # all baselines cross-checked in the same harness (8 funcs total)
+    assert len(res["stats"]["avg_max_diff"]) == 8
+
+
+def test_gate_bf16_acc_family(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    from tpul2.autotune.db import reset_default_db
+    reset_default_db()
+    res = run_correctness_check(32, 128, 512, acc="bfloat16", iterations=2,
+                                time_cap_s=30)
+    assert res["stats"]["exact_bound"] == EXACT_BOUND["bfloat16"]
+    assert res["pass"], res
+
+
+def test_gate_catches_wrong_kernel():
+    # A deliberately wrong candidate must fail with nonzero diff.
+    def bad(a, b, b_t):
+        return jnp.matmul(a, b) + jnp.asarray(1.0, a.dtype)
+
+    funcs = {"tpul2": bad}
+    stats = compare_with_cpu_f32(32, 128, 128, iterations=2, time_cap_s=30,
+                                 funcs=funcs)
+    assert stats["avg_max_diff"]["tpul2"] > 0.0
+
+
+def test_gate_catches_nan():
+    def nan_fn(a, b, b_t):
+        return jnp.matmul(a, b) * jnp.asarray(float("nan"), a.dtype)
+
+    stats = compare_with_cpu_f32(32, 128, 128, iterations=1, time_cap_s=30,
+                                 funcs={"tpul2": nan_fn})
+    assert stats["nan_or_inf"]["tpul2"]
+
+
+def test_canary_pass_on_padded_shape():
+    cfg = KernelConfig(bm=64, bn=128, bk=128)
+    res = canary_check(100, 200, 300, config=cfg)
+    assert res["pass"], res
+    assert res["padded_shape"] == [128, 256]
+
+
+def test_canary_detects_oob_style_corruption(monkeypatch):
+    # Simulate a mis-tiled kernel that writes garbage into the pad region.
+    import tpul2.harness.correctness as mod
+
+    real = mod.pallas_matmul_padded
+
+    def corrupted(a, b, cfg, out_dtype=None, interpret=None):
+        out = real(a, b, cfg, out_dtype=out_dtype, interpret=interpret)
+        return out.at[-1, -1].set(777.0)  # stomp the guard region
+
+    monkeypatch.setattr(mod, "pallas_matmul_padded", corrupted)
+    res = mod.canary_check(100, 200, 300,
+                           config=KernelConfig(bm=64, bn=128, bk=128))
+    assert not res["pass"]
+    assert not res["pad_rows_ok"] or not res["pad_cols_ok"]

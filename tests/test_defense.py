@@ -1,0 +1,140 @@
+"""Defense self-tests: each defense vs a legit and a malicious perf_func.
+
+Mirrors the reference's paired legit-vs-attack self-tests under __main__
+(defense.py:336-579, SURVEY.md §4.2) — executable specifications of the
+attacks the harness must detect, promoted to a real pytest suite.
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpul2.harness import defense as d
+
+
+def _legit(a, b, b_t):
+    return jnp.matmul(a, b)
+
+
+def _args(m=32, n=128, k=128, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, k)), dtype)
+    b = jnp.asarray(rng.standard_normal((k, n)), dtype)
+    return (a, b, b.T)
+
+
+def test_thread_injection_legit_and_attack():
+    args = _args()
+    assert d.defend_against_thread_injection(_legit, args)["pass"]
+
+    def attack(a, b, b_t):
+        t = threading.Thread(target=time.sleep, args=(2.0,), daemon=True)
+        t.start()
+        return jnp.matmul(a, b)
+
+    res = d.defend_against_thread_injection(attack, args)
+    assert not res["pass"]
+    assert res["threads_after"] > res["threads_before"]
+
+
+def test_async_cheating_legit():
+    args = _args()
+    res = d.defend_against_async_cheating(_legit, args)
+    assert res["pass"], res
+    assert res["authoritative_ms"] > 0
+
+
+def test_async_cheating_attack():
+    # Cheat: the timed call returns a cheap (already-materialized) output
+    # while queueing its real work where block_until_ready(out) won't wait
+    # for it.  We model the device queue with an injectable barrier (the
+    # production barrier drains the real device queue; the test barrier
+    # drains this fake one) so the flag logic is tested deterministically.
+    args = _args()
+    pending = []
+
+    def attack(a, b, b_t):
+        pending.append(lambda: time.sleep(0.005))  # hidden side work
+        return jnp.zeros((32, 128), jnp.bfloat16)  # instant bogus output
+
+    def fake_barrier():
+        while pending:
+            pending.pop()()
+
+    res = d.defend_against_async_cheating(attack, args, iters=4,
+                                          barrier=fake_barrier)
+    assert not res["pass"], res
+    assert res["ratio"] > 1.5
+    # the defense's authoritative timing is the honest (sync-derived) one
+    assert res["authoritative_ms"] == pytest.approx(res["sync_ms"], rel=0.05)
+    assert res["sync_ms"] > res["event_ms"]
+
+
+def test_lazy_evaluation_legit_and_attack():
+    args = _args()
+    res = d.defend_against_lazy_evaluation(_legit, args,
+                                           expected_shape=(32, 128))
+    assert res["pass"], res
+
+    class LazyFake:
+        shape = (32, 128)
+        dtype = jnp.bfloat16
+
+        def __array__(self):
+            return np.zeros(self.shape)
+
+    res = d.defend_against_lazy_evaluation(lambda *a: LazyFake(), args)
+    assert not res["pass"]
+    assert not res["is_jax_array"]
+
+
+def test_lazy_evaluation_deleted_array():
+    args = _args()
+
+    def deleted(a, b, b_t):
+        out = jax.block_until_ready(jnp.matmul(a, b))
+        out.delete()
+        return out
+
+    res = d.defend_against_lazy_evaluation(deleted, args)
+    assert not res["pass"]
+
+
+def test_precision_downgrade_legit_and_attack():
+    args = _args()
+    assert d.defend_against_precision_downgrade(
+        _legit, args, jnp.bfloat16)["pass"]
+
+    def attack(a, b, b_t):
+        # compute in int8-ish lowprec and hand back the wrong dtype
+        return jnp.matmul(a, b).astype(jnp.float16)
+
+    res = d.defend_against_precision_downgrade(attack, args, jnp.bfloat16)
+    assert not res["pass"]
+    assert res["actual"] == "float16"
+
+
+def test_monkey_patching_detects(monkeypatch):
+    assert d.defend_against_monkey_patching()["pass"]
+    monkeypatch.setattr(time, "perf_counter", lambda: 0.0)
+    res = d.defend_against_monkey_patching()
+    assert not res["pass"]
+    assert not res["time.perf_counter"]
+
+
+def test_run_all_defenses_composed():
+    args = _args()
+    res = d.run_all_defenses(_legit, args, expected_dtype=jnp.bfloat16,
+                             expected_shape=(32, 128))
+    assert res["pass"]
+    assert len(res["defenses"]) == 5
+
+    def attack(a, b, b_t):
+        return jnp.matmul(a, b).astype(jnp.float32)
+
+    res = d.run_all_defenses(attack, args, expected_dtype=jnp.bfloat16)
+    assert not res["pass"]

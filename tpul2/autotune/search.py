@@ -101,7 +101,8 @@ def tune_shape(m: int, n: int, k: int,
                save: bool = True,
                verbose: bool = False) -> TuneResult:
     """Search the config space for one (M, N, K, acc) and record the winner."""
-    from tpul2.utils.platform import default_interpret
+    from tpul2.utils.platform import default_interpret, enable_compilation_cache
+    enable_compilation_cache()
     t_start = time.perf_counter()
     if interpret is None:
         interpret = default_interpret()

@@ -117,15 +117,41 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
     )
 
 
-def _forward(a, b, cfg: KernelConfig, out_dtype, interpret: bool):
+def _forward_padded(a, b, cfg: KernelConfig, out_dtype, interpret: bool):
     a_p, b_p, (m, n) = pad_operands(a, b, cfg.bm, cfg.bn, cfg.bk)
     mp, kp = a_p.shape
     _, np_ = b_p.shape
     call = _build_call(mp, np_, kp, cfg, a.dtype, jnp.dtype(out_dtype),
                        interpret)
-    out = call(a_p, b_p)
-    if (mp, np_) != (m, n):
+    return call(a_p, b_p), (m, n)
+
+
+def _forward(a, b, cfg: KernelConfig, out_dtype, interpret: bool):
+    out, (m, n) = _forward_padded(a, b, cfg, out_dtype, interpret)
+    if out.shape != (m, n):
         out = out[:m, :n]
+    return out
+
+
+def pallas_matmul_padded(a, b, config: KernelConfig, out_dtype=None,
+                         interpret: Optional[bool] = None):
+    """Debug/validation entry: return the UNSLICED (padded) output.
+
+    Used by the correctness gate's memory-safety canary (the TPU analogue of
+    the reference's 16384-element guard bands around every buffer,
+    zero_one_correctness_check.py:98-149): with zero-padded operands the pad
+    rows/cols of the output are exactly 0, so any nonzero there — or any
+    corruption of the valid region — exposes a mis-tiled index map writing
+    where it must not.
+    """
+    if out_dtype is None:
+        out_dtype = a.dtype
+    if interpret is None:
+        interpret = default_interpret()
+    err = config.validate(a.dtype)
+    if err:
+        raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
+    out, _ = _forward_padded(a, b, config, jnp.dtype(out_dtype), interpret)
     return out
 
 

@@ -54,6 +54,34 @@ def tpu_generation() -> str:
     return "unknown"
 
 
+_cache_enabled = False
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The analogue of the reference's torch cpp_extension build cache in
+    ``base_dir`` (tools/utils.py:106, SURVEY.md §5 'checkpoint/resume'):
+    first Mosaic compile of a kernel config costs tens of seconds on the
+    remote-compile TPU path; the cache makes re-tuning and re-benchmarking
+    runs warm-start.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import os
+
+    import jax as _jax
+    path = path or os.environ.get(
+        "TPUL2_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(path, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", path)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _cache_enabled = True
+
+
 def tpu_peak_flops(dtype="bfloat16") -> float:
     """Peak matmul FLOP/s for the current chip (bf16 inputs)."""
     gen = tpu_generation()
