@@ -47,6 +47,14 @@ def parse_args(argv=None):
     ap.add_argument("--correctness_seconds", type=float, default=60.0)
     ap.add_argument("--correctness_iters", type=int, default=100)
     ap.add_argument("--skip_correctness", action="store_true")
+    ap.add_argument("--gate_first", action="store_true",
+                    help="run the correctness gate BEFORE the benchmarks "
+                         "(the reference's order).  Default is gate-last: "
+                         "the gate's device->host transfers permanently "
+                         "degrade fenced-call latency on tunneled TPU "
+                         "backends, so benchmarks run on a clean session "
+                         "first; a gate failure still fails the whole run "
+                         "and discards its results.")
     ap.add_argument("--isolate", action="store_true",
                     help="one subprocess per baseline (reference behavior)")
     ap.add_argument("--perf_funcs", nargs="*", default=None,
@@ -73,7 +81,7 @@ def main(argv=None) -> int:
     from tpul2.harness.summarize import summarize_results
 
     # --- correctness gate: hard abort on failure (ref :71-80) ---
-    if not args.skip_correctness:
+    def run_gate() -> bool:
         res = run_correctness_check(
             m, n, k, acc=args.acc,
             iterations=args.correctness_iters,
@@ -83,15 +91,58 @@ def main(argv=None) -> int:
         if not res["pass"]:
             print(f"correctness check FAILED: {res.get('failure')}",
                   file=sys.stderr)
-            return 1
+            # discard benchmark results of a failed candidate (fail-fast
+            # semantics preserved even in gate-last order)
+            for f in base.glob("benchmark_result_*.json"):
+                f.unlink()
+            return False
         print(f"correctness check passed "
               f"({res['stats']['iterations']} iterations, "
               f"density={res['stats']['density']:.3f})")
+        return True
+
+    if not args.skip_correctness and args.gate_first:
+        if not run_gate():
+            return 1
 
     # --- benchmarks, shuffled baseline order (ref :82-96) ---
     perf_funcs = args.perf_funcs or list(BASELINES)
     random.Random(args.seed).shuffle(perf_funcs)
-    for func in perf_funcs:
+
+    if not args.isolate:
+        # Amortized path: candidate + all baselines in ONE loop with
+        # per-iteration shuffled order (see harness.bench_offline._run_mode
+        # for why per-baseline processes are prohibitive on tunneled
+        # backends).
+        from tpul2.harness.bench_offline import benchmark_offline_all
+        from tpul2.harness.bench_server import benchmark_server_all
+        try:
+            if args.mode == "server":
+                results = benchmark_server_all(
+                    m, n, k, target_qps=args.target_qps,
+                    perf_funcs=perf_funcs, acc=args.acc,
+                    warmup_seconds=args.warmup_seconds,
+                    benchmark_seconds=args.benchmark_seconds,
+                    base_dir=str(base), seed=args.seed)
+            else:
+                results = benchmark_offline_all(
+                    m, n, k, perf_funcs=perf_funcs, acc=args.acc,
+                    warmup_seconds=args.warmup_seconds,
+                    benchmark_seconds=args.benchmark_seconds,
+                    base_dir=str(base), seed=args.seed)
+        except Exception as e:  # fail-fast (ref :127-130)
+            print(f"benchmark failed: {e}", file=sys.stderr)
+            return 1
+        for func in perf_funcs:
+            r = results[func]
+            print(f"{func}: speedup {r['speedup']:.4f}x "
+                  f"({r['tpul2']['tflops_median']:.2f} vs "
+                  f"{r[func]['tflops_median']:.2f} TFLOPS)")
+        perf_funcs_done = True
+    else:
+        perf_funcs_done = False
+
+    for func in (perf_funcs if not perf_funcs_done else []):
         if args.isolate:
             cmd = [sys.executable, __file__,
                    "--mnk", str(m), str(n), str(k),
@@ -132,6 +183,11 @@ def main(argv=None) -> int:
     # summarize — the parent will.
     if args.skip_correctness and args.perf_funcs and len(args.perf_funcs) == 1:
         return 0
+
+    # --- gate-last (default): benchmarks ran on a clean session above ---
+    if not args.skip_correctness and not args.gate_first:
+        if not run_gate():
+            return 1
 
     # --- summary (ref :135) ---
     md = summarize_results(str(base), write_path=str(base / "summary.md"))

@@ -12,18 +12,40 @@ from tpul2.harness.bench_server import benchmark_server
 from tpul2.harness.summarize import speedup_row, summarize_results
 
 
-def test_run_benchmark_and_tflops():
+def test_chained_timer_and_tflops():
     rng = np.random.default_rng(0)
-    a, b, b_t = bu.fresh_inputs(rng, 32, 128, 128)
+    data = bu.fresh_inputs(rng, 32, 128, 128)
+    a, b, b_t = data
     assert a.shape == (32, 128) and b.shape == (128, 128)
     assert b_t.shape == (128, 128)
 
     def fn(a, b, b_t):
         return jnp.matmul(a, b)
 
-    ms = bu.run_benchmark(fn, a, b, b_t)
+    est = bu.estimate_per_call_ms(fn, data, 32, 128, 128, jnp.bfloat16,
+                                  probe_reps=8)
+    assert est > 0
+    t = bu.ChainedTimer(fn, 32, 128, 128, jnp.bfloat16, reps=16)
+    t.warmup(data)
+    trials = [t.measure(data) for _ in range(3)]
+    ms = bu.ChainedTimer.per_call_ms(trials, t.reps_lo, t.reps_hi)
     assert ms > 0
     assert bu.tflops(1024, 1024, 1024, 1.0) == pytest.approx(2.147, abs=0.01)
+
+
+def test_chained_runner_adapts_all_shape_cases():
+    # chaining must work when n >= k and when n < k (tile path)
+    rng = np.random.default_rng(1)
+    for (m, n, k) in [(16, 256, 128), (16, 128, 512)]:
+        data = bu.fresh_inputs(rng, m, n, k)
+
+        def fn(a, b, b_t):
+            return jnp.matmul(a, b)
+
+        run = bu.make_chained_runner(fn, m, n, k, jnp.bfloat16, reps=3)
+        out = run(*data)
+        assert out.shape == (m, k)
+        assert out.dtype == jnp.bfloat16
 
 
 def test_offline_writes_result(tmp_path):

@@ -4,19 +4,27 @@ The reference's 3,736 tuned kernels were produced by an offline RL pipeline
 (paper arXiv:2512.02551) whose code is not in the repo; the repo only ships
 the *outputs*.  The closest in-repo model is the cuBLASLt auto-tuning
 baseline's pre-tune loop (SURVEY.md §3.5: enumerate ≤100 candidate algos →
-50 warmup + 100 timed rounds with fresh random data per round and per-round
+warmup + timed rounds with fresh random data per round and per-round
 shuffled algo order → median per algo selects the winner, cached for exec).
 
 tpul2 adopts exactly that methodology over the Pallas config space:
 
   1. enumerate candidates (config.candidate_configs: static-VMEM-pruned tile
      points + the XLA sentinel),
-  2. compile + quick-exactness-screen each candidate (0/1 inputs, SURVEY C4),
+  2. compile-screen each candidate (execute once; failures drop out),
   3. stage 1: few timed rounds over all candidates → keep top finalists,
-  4. stage 2: many timed rounds, fresh data per round, shuffled order,
+  4. stage 2: many timed rounds, fresh on-device data, shuffled order,
      median-of-N per candidate,
-  5. persist the winner (+ measured TFLOPS + speedup vs the XLA sentinel)
-     in the TuneDB.
+  5. exactness-screen the ranked finalists (0/1 inputs vs CPU f32 truth) and
+     pick the fastest EXACT one,
+  6. persist winner (+ TFLOPS + speedup vs the XLA sentinel) in the TuneDB.
+
+Ordering constraint: steps 1–4 perform NO device→host transfer.  On
+tunneled TPU backends (axon), the first D2H permanently flips completion
+waits into a ~30 ms polling mode, which would bury every subsequent timing;
+so all D2H (step 5) happens after all timing.  ``tune_many`` extends this
+discipline across a whole shape batch: every shape is timed before any
+shape is screened — one process, clean timings throughout.
 """
 
 from __future__ import annotations
@@ -44,7 +52,7 @@ class TuneResult:
     best: KernelConfig
     best_tflops: float
     xla_tflops: float
-    speedup: float          # best vs XLA sentinel (>= 1.0 by construction)
+    speedup: float          # best vs XLA sentinel
     n_candidates: int
     n_compiled: int
     elapsed_s: float
@@ -62,28 +70,209 @@ def _make_fn(cfg: KernelConfig, out_dtype, interpret):
     return jax.jit(f)
 
 
-def _fresh_data(rng, m, n, k, in_dtype, zero_one=False):
-    if zero_one:
-        a = jnp.asarray(rng.integers(0, 2, (m, k)), in_dtype)
-        b = jnp.asarray(rng.integers(0, 2, (k, n)), in_dtype)
-    else:
-        a = jnp.asarray(rng.standard_normal((m, k), np.float32), in_dtype)
-        b = jnp.asarray(rng.standard_normal((k, n), np.float32), in_dtype)
+def _device_data(rng, m, n, k, in_dtype):
+    """Fresh normal operands generated ON DEVICE (no host transfer)."""
+    from tpul2.harness.bench_utils import _gen_operands
+    seed = int(rng.integers(0, 2**31 - 1))
+    a, b, _ = _gen_operands(jax.random.key(seed), m, n, k,
+                            jnp.dtype(in_dtype).name)
     return jax.block_until_ready(a), jax.block_until_ready(b)
 
 
-def _median_time(fn, datasets, rounds, inner=1):
-    """Median wall-clock seconds of `fn` over `rounds` timed calls."""
-    ts = []
-    for r in range(rounds):
-        a, b = datasets[r % len(datasets)]
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(inner):
-            out = fn(a, b)
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / inner)
-    return float(np.median(ts))
+class _ShapeTuning:
+    """Timing phase for one shape: compile screen + 2-stage timing.
+
+    Produces a ranked finalist list; exactness screening happens later
+    (see module docstring for why)."""
+
+    def __init__(self, m, n, k, acc, in_dtype, out_dtype, interpret,
+                 max_candidates, stage1_rounds, stage2_rounds, finalists,
+                 n_datasets, seed, seed_configs, verbose):
+        self.m, self.n, self.k, self.acc = m, n, k, acc
+        self.in_dtype, self.out_dtype = in_dtype, out_dtype
+        self.interpret, self.verbose = interpret, verbose
+        self.t_start = time.perf_counter()
+        rng = np.random.default_rng(seed)
+        self.rng = rng
+
+        cands = candidate_configs(m, n, k, acc, in_dtype,
+                                  max_candidates=max_candidates)
+        if seed_configs:
+            cands = list(seed_configs) + [c for c in cands
+                                          if c not in seed_configs]
+        self.n_candidates = len(cands)
+
+        from tpul2.harness import bench_utils as bu
+
+        # timing datasets, generated on device (no host↔device transfers)
+        datasets = [_device_data(rng, m, n, k, in_dtype)
+                    for _ in range(n_datasets)]
+
+        # compile/execute screen (no D2H)
+        compiled = []
+        for cfg in cands:
+            fn = _make_fn(cfg, out_dtype, interpret)
+            try:
+                fn.lower(*datasets[0]).compile()
+            except Exception as e:
+                if verbose:
+                    print(f"  skip {cfg}: {type(e).__name__}: "
+                          f"{str(e)[:120]}")
+                continue
+            compiled.append((cfg, fn))
+        if not any(c.use_xla for c, _ in compiled):
+            raise RuntimeError("XLA sentinel failed to run — cannot tune")
+        self.n_compiled = len(compiled)
+
+        # Chained in-program timing (see bench_utils docstring: plain fenced
+        # or batched calls are not trustworthy on tunneled TPU backends).
+        def wrap(fn):
+            return lambda a, b, b_t: fn(a, b)
+
+        data3 = [(a, b, None) for (a, b) in datasets]
+        xla_fn = next(f for c, f in compiled if c.use_xla)
+        est = bu.estimate_per_call_ms(wrap(xla_fn), data3[0], m, n, k,
+                                      in_dtype)
+
+        # stage 1: one short chained program per candidate, floor-subtracted
+        reps1 = bu.pick_reps(est, target_ms=40.0)
+        runners1 = []
+        for cfg, fn in compiled:
+            r = bu.make_chained_runner(wrap(fn), m, n, k, in_dtype, reps1)
+            bu.device_fence(r(*data3[0]))  # warmup/compile
+            runners1.append(r)
+        floor = bu.fence_floor_ms()
+
+        def t_of(runner, data):
+            t0 = time.perf_counter()
+            bu.device_fence(runner(*data))
+            return time.perf_counter() - t0
+
+        order = list(range(len(compiled)))
+        times1 = {i: [] for i in order}
+        for r in range(stage1_rounds):
+            random.shuffle(order)  # per-round shuffled order (C12)
+            data = data3[r % len(data3)]
+            for i in order:
+                t = t_of(runners1[i], data) * 1e3
+                times1[i].append(max(t - floor, 1e-6) / reps1)
+        med1 = {i: float(np.median(times1[i])) for i in order}
+
+        ranked = sorted(med1, key=med1.get)
+        keep = set(ranked[:finalists])
+        keep.add(next(i for i, (c, _) in enumerate(compiled) if c.use_xla))
+        self.stage2 = [compiled[i] for i in sorted(keep)]
+
+        # stage 2: difference-of-reps with medians (floor cancels exactly)
+        reps2 = bu.pick_reps(est, target_ms=160.0)
+        timers = [bu.ChainedTimer(wrap(fn), m, n, k, in_dtype, reps2)
+                  for cfg, fn in self.stage2]
+        for t in timers:
+            t.warmup(data3[0])
+        order = list(range(len(self.stage2)))
+        trials = {i: [] for i in order}
+        for r in range(stage2_rounds):
+            random.shuffle(order)
+            data = data3[r % len(data3)]
+            for i in order:
+                trials[i].append(timers[i].measure(data))
+        self.med2 = {
+            i: bu.ChainedTimer.per_call_ms(
+                trials[i], timers[i].reps_lo, timers[i].reps_hi)
+            for i in order}
+        del datasets, data3
+        self.elapsed_timing = time.perf_counter() - self.t_start
+
+    def finish(self, db: Optional[TuneDB], save: bool) -> TuneResult:
+        """Exactness screen + winner selection + persist.
+
+        The screen reference is an INDEPENDENT on-device computation: XLA
+        dot_general at f32/HIGHEST precision on 0/1-valued inputs is
+        integer-exact (sums ≪ 2²⁴), so max|cand − ref| must be exactly 0
+        below the output dtype's integer bound.  Comparing on device keeps
+        the D2H to one scalar per finalist — a full-output transfer of a
+        16384² f32 result through a tunneled backend takes minutes.  (The
+        harness correctness gate separately checks against CPU f32 truth —
+        the reference's trust anchor — at gate time.)"""
+        from tpul2.harness.correctness import zero_one_density
+        m, n, k = self.m, self.n, self.k
+        bf16ish = (self.acc == "bfloat16"
+                   or jnp.dtype(self.out_dtype).name == "bfloat16")
+        dens = zero_one_density(k, "bfloat16" if bf16ish else "float32")
+        seed = int(self.rng.integers(0, 2**31 - 1))
+        key = jax.random.key(seed)
+
+        @jax.jit
+        def gen_01(key):
+            ka, kb = jax.random.split(key)
+            sa = (jax.random.uniform(ka, (m, k)) < dens).astype(self.in_dtype)
+            sb = (jax.random.uniform(kb, (k, n)) < dens).astype(self.in_dtype)
+            return sa, sb
+
+        sa, sb = gen_01(key)
+        bound = 256.0 if bf16ish else float(1 << 24)
+
+        @jax.jit
+        def ref_out(sa, sb):
+            return jax.lax.dot_general(
+                sa.astype(jnp.float32), sb.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        truth = ref_out(sa, sb)
+
+        @jax.jit
+        def max_masked_diff(out, truth):
+            d = jnp.abs(out.astype(jnp.float32) - truth)
+            d = jnp.where(jnp.abs(truth) <= bound, d, 0.0)
+            finite = jnp.all(jnp.isfinite(out.astype(jnp.float32)))
+            return jnp.where(finite, jnp.max(d), jnp.inf)
+
+        ranked = sorted(self.med2, key=self.med2.get)
+        xla_i = next(i for i, (c, _) in enumerate(self.stage2)
+                     if c.use_xla)
+        best_i = None
+        for i in ranked:
+            cfg, fn = self.stage2[i]
+            diff = float(jax.device_get(max_masked_diff(fn(sa, sb), truth)))
+            if diff == 0.0:
+                best_i = i
+                break
+            if self.verbose:
+                print(f"  WRONG RESULT (post-timing screen, diff={diff}) "
+                      f"{cfg}")
+        if best_i is None:
+            raise RuntimeError("no finalist passed the exactness screen")
+
+        flops = 2.0 * m * n * k
+        best_cfg = self.stage2[best_i][0]
+        best_t = self.med2[best_i]
+        xla_t = self.med2[xla_i]
+        result = TuneResult(
+            m=m, n=n, k=k, acc=self.acc,
+            best=best_cfg,
+            best_tflops=flops / (best_t * 1e-3) / 1e12,  # med2 is in ms
+            xla_tflops=flops / (xla_t * 1e-3) / 1e12,
+            speedup=xla_t / best_t,
+            n_candidates=self.n_candidates,
+            n_compiled=self.n_compiled,
+            elapsed_s=time.perf_counter() - self.t_start,
+        )
+        if save:
+            db = db or default_db()
+            db.put(m, n, k, best_cfg, result.best_tflops, acc=self.acc,
+                   in_dtype=self.in_dtype,
+                   extra={"speedup_vs_xla": result.speedup,
+                          "xla_tflops": result.xla_tflops})
+            db.save()
+        if self.verbose:
+            print(f"tuned {m}x{n}x{k}/{self.acc}: "
+                  f"bm={best_cfg.bm} bn={best_cfg.bn} bk={best_cfg.bk} "
+                  f"{best_cfg.grid_order} "
+                  f"{result.best_tflops:.2f} TFLOPS "
+                  f"({result.speedup:.3f}x vs XLA)")
+        return result
 
 
 def tune_shape(m: int, n: int, k: int,
@@ -99,11 +288,42 @@ def tune_shape(m: int, n: int, k: int,
                n_datasets: int = 3,
                seed: int = 0,
                save: bool = True,
+               seed_configs: Optional[list] = None,
                verbose: bool = False) -> TuneResult:
-    """Search the config space for one (M, N, K, acc) and record the winner."""
+    """Search the config space for one (M, N, K, acc); record the winner.
+
+    NOTE: the final exactness screen performs a device→host transfer; on
+    tunneled backends, time-sensitive work in the same process should happen
+    before calling this (or use tune_many for batches)."""
     from tpul2.utils.platform import default_interpret, enable_compilation_cache
     enable_compilation_cache()
-    t_start = time.perf_counter()
+    if interpret is None:
+        interpret = default_interpret()
+    if out_dtype is None:
+        out_dtype = in_dtype
+    st = _ShapeTuning(m, n, k, acc, in_dtype, out_dtype, interpret,
+                      max_candidates, stage1_rounds, stage2_rounds,
+                      finalists, n_datasets, seed, seed_configs, verbose)
+    return st.finish(db, save)
+
+
+def tune_many(shapes: Sequence[tuple],
+              acc: str = "float32",
+              in_dtype=jnp.bfloat16,
+              out_dtype=None,
+              db: Optional[TuneDB] = None,
+              interpret: Optional[bool] = None,
+              skip_tuned: bool = False,
+              seed_from_db: bool = True,
+              verbose: bool = True,
+              **kw) -> list:
+    """Tune a batch of (M, N, K) shapes with batch-wide phase ordering:
+    ALL shapes are timed first (zero device→host transfers), then all
+    winners are exactness-screened and persisted.  Resumable: with
+    skip_tuned=True, already-tuned shapes are skipped (the checkpoint/
+    resume subsystem the reference lacks, SURVEY.md §5)."""
+    from tpul2.utils.platform import default_interpret, enable_compilation_cache
+    enable_compilation_cache()
     if interpret is None:
         interpret = default_interpret()
     if out_dtype is None:
@@ -111,122 +331,23 @@ def tune_shape(m: int, n: int, k: int,
     if db is None:
         db = default_db()
 
-    rng = np.random.default_rng(seed)
-    cands = candidate_configs(m, n, k, acc, in_dtype,
-                              max_candidates=max_candidates)
-
-    # --- exactness screen data: 0/1 inputs, f32 CPU truth (SURVEY C4) ---
-    sa, sb = _fresh_data(rng, m, n, k, in_dtype, zero_one=True)
-    truth = np.asarray(sa, np.float32) @ np.asarray(sb, np.float32)
-    if jnp.dtype(out_dtype).name == "bfloat16" or acc == "bfloat16":
-        mask = np.abs(truth) <= 256  # bf16 integer-exact bound
-    else:
-        mask = np.ones_like(truth, bool)
-
-    compiled = []
-    for cfg in cands:
-        fn = _make_fn(cfg, out_dtype, interpret)
-        try:
-            out = np.asarray(jax.block_until_ready(fn(sa, sb)), np.float32)
-        except Exception as e:  # compile/VMEM failure → candidate invalid
-            if verbose:
-                print(f"  skip {cfg}: {type(e).__name__}: {e}")
-            continue
-        if not np.array_equal(out[mask], truth[mask]):
-            if verbose:
-                print(f"  WRONG RESULT {cfg}")
-            continue
-        compiled.append((cfg, fn))
-
-    if not any(c.use_xla for c, _ in compiled):
-        raise RuntimeError("XLA sentinel failed to run — cannot tune")
-
-    # --- timing datasets (fresh-ish data; rotated per round) ---
-    datasets = [_fresh_data(rng, m, n, k, in_dtype) for _ in range(n_datasets)]
-
-    # Adaptive inner iterations so each measurement is >= ~0.5 ms.
-    xla_fn = next(f for c, f in compiled if c.use_xla)
-    jax.block_until_ready(xla_fn(*datasets[0]))
-    t1 = time.perf_counter()
-    jax.block_until_ready(xla_fn(*datasets[0]))
-    dt = time.perf_counter() - t1
-    inner = max(1, int(5e-4 / max(dt, 1e-7)))
-
-    def run_stage(entries, rounds):
-        med = {}
-        order = list(range(len(entries)))
-        # warmup: one call each
-        for cfg, fn in entries:
-            jax.block_until_ready(fn(*datasets[0]))
-        times = {i: [] for i in order}
-        for r in range(rounds):
-            random.shuffle(order)  # per-round shuffled candidate order (C12)
-            a, b = datasets[r % len(datasets)]
-            for i in order:
-                fn = entries[i][1]
-                t0 = time.perf_counter()
-                out = None
-                for _ in range(inner):
-                    out = fn(a, b)
-                jax.block_until_ready(out)
-                times[i].append((time.perf_counter() - t0) / inner)
-        for i in order:
-            med[i] = float(np.median(times[i]))
-        return med
-
-    med1 = run_stage(compiled, stage1_rounds)
-    ranked = sorted(med1, key=med1.get)
-    keep = set(ranked[:finalists])
-    keep.add(next(i for i, (c, _) in enumerate(compiled) if c.use_xla))
-    stage2 = [compiled[i] for i in sorted(keep)]
-
-    med2 = run_stage(stage2, stage2_rounds)
-    flops = 2.0 * m * n * k
-    best_i = min(med2, key=med2.get)
-    best_cfg = stage2[best_i][0]
-    best_t = med2[best_i]
-    xla_i = next(i for i, (c, _) in enumerate(stage2) if c.use_xla)
-    xla_t = med2[xla_i]
-
-    result = TuneResult(
-        m=m, n=n, k=k, acc=acc,
-        best=best_cfg,
-        best_tflops=flops / best_t / 1e12,
-        xla_tflops=flops / xla_t / 1e12,
-        speedup=xla_t / best_t,
-        n_candidates=len(cands),
-        n_compiled=len(compiled),
-        elapsed_s=time.perf_counter() - t_start,
-    )
-    if save:
-        db.put(m, n, k, best_cfg, result.best_tflops, acc=acc,
-               in_dtype=in_dtype,
-               extra={"speedup_vs_xla": result.speedup,
-                      "xla_tflops": result.xla_tflops})
-        db.save()
-    if verbose:
-        print(f"tuned {m}x{n}x{k}/{acc}: {best_cfg} "
-              f"{result.best_tflops:.2f} TFLOPS "
-              f"({result.speedup:.3f}x vs XLA)")
-    return result
-
-
-def tune_grid(shapes: Sequence[tuple],
-              accs: Sequence[str] = ("float32",),
-              db: Optional[TuneDB] = None,
-              skip_tuned: bool = True,
-              verbose: bool = True,
-              **kw) -> list:
-    """Tune a list of (M, N, K) shapes; resumable via the TuneDB
-    (already-tuned shapes are skipped — the checkpoint/resume subsystem
-    the reference lacks, SURVEY.md §5)."""
-    if db is None:
-        db = default_db()
-    results = []
+    pending = []
     for (m, n, k) in shapes:
-        for acc in accs:
-            if skip_tuned and db.get(m, n, k, acc) is not None:
-                continue
-            results.append(tune_shape(m, n, k, acc=acc, db=db,
-                                      verbose=verbose, **kw))
+        stored = db.get(m, n, k, acc, in_dtype)
+        if skip_tuned and stored is not None:
+            continue
+        seeds = [stored] if (seed_from_db and stored is not None) else None
+        st = _ShapeTuning(
+            m, n, k, acc, in_dtype, out_dtype, interpret,
+            kw.get("max_candidates", 48), kw.get("stage1_rounds", 5),
+            kw.get("stage2_rounds", 20), kw.get("finalists", 6),
+            kw.get("n_datasets", 3), kw.get("seed", 0),
+            seeds, verbose)
+        pending.append(st)
+        if verbose:
+            print(f"timed {m}x{n}x{k}/{acc} "
+                  f"({st.n_compiled}/{st.n_candidates} candidates, "
+                  f"{st.elapsed_timing:.1f}s)")
+
+    results = [st.finish(db, save=True) for st in pending]
     return results

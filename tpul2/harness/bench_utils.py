@@ -1,15 +1,32 @@
 """Shared benchmark timing core.
 
-Port of the reference's benchmarking_utils.py (SURVEY.md C5): wall-clock
-timing around full-device fences, fresh random tensors per iteration,
-shuffled function order per iteration, TFLOPS = 2·M·N·K/t.  The CUDA
-``torch.cuda.synchronize()`` fences become ``jax.block_until_ready`` — the
-honest way to time an async-dispatch runtime (and the thing defense.py's
-async-cheat check cross-validates).
+Port of the reference's benchmarking_utils.py (SURVEY.md C5) — fresh random
+tensors per iteration, shuffled function order, TFLOPS = 2·M·N·K/t — with
+the timing primitive redesigned twice over for TPU runtimes reached through
+an async tunnel (the 'axon' backend), where three CUDA-era assumptions die:
+
+  1. ``jax.block_until_ready`` does not actually wait — the only true fence
+     is a device→host transfer (``device_fence``), which carries a fixed
+     ~30 ms session latency with ±5 ms jitter;
+  2. host↔device transfers are slow (MB/ms scale), so benchmark data must be
+     generated on device;
+  3. repeatedly enqueueing the SAME (program, args) execution can be
+     deduplicated/cached by the relay, so naive back-to-back batching
+     under-counts work.
+
+The honest measurement is therefore **chained in-program batching**: build
+one jitted program that runs R data-dependent iterations of the function
+under test (each iteration's A input derives from the previous output, so
+no iteration can be elided, cached, or reordered), execute it ONCE per
+measurement, and fence once.  Per-call time comes from the difference of
+two rep counts — medians of T(R) minus medians of T(R/4) — which cancels
+the fence floor exactly.  On well-behaved backends the same method is
+simply a low-overhead device-side loop.
 """
 
 from __future__ import annotations
 
+import functools
 import random
 import time
 from typing import Callable, Dict, Optional
@@ -18,65 +35,161 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-VERSION_STAMP = "tpul2-0.1"
+VERSION_STAMP = "tpul2-0.3"
 
 
-def fresh_inputs(rng, m: int, n: int, k: int, in_dtype=jnp.bfloat16):
-    """Fresh normal-random operands + transposed layout, fenced on device.
+# ---------------------------------------------------------------------------
+# device data generation
+# ---------------------------------------------------------------------------
 
-    Mirrors benchmarking_utils.py:36-47: new randn tensors every iteration
-    (defeats value-specific caching) and both B layouts always materialized
-    (as_col_major analogue, tools/utils.py:110-115)."""
-    a = jnp.asarray(rng.standard_normal((m, k), np.float32), in_dtype)
-    b = jnp.asarray(rng.standard_normal((k, n), np.float32), in_dtype)
-    b_t = jnp.swapaxes(b, 0, 1)  # materialized below by block_until_ready
-    a, b, b_t = jax.block_until_ready((a, b, b_t))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _gen_operands(key, m: int, n: int, k: int, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    ka, kb = jax.random.split(key)
+    a = jax.random.normal(ka, (m, k), jnp.float32).astype(dtype)
+    b = jax.random.normal(kb, (k, n), jnp.float32).astype(dtype)
+    # Distinct materialized layout for the transposed operand
+    # (as_col_major analogue, tools/utils.py:110-115).
+    b_t = jnp.swapaxes(b, 0, 1) + jnp.zeros((n, k), dtype)
     return a, b, b_t
 
 
-def run_benchmark(fn: Callable, a, b, b_t, inner: int = 1) -> float:
-    """One timed measurement of ``fn(a, b, b_t)``: fence, wall-clock,
-    fence.  Returns milliseconds per call (reference :22-31)."""
-    jax.block_until_ready((a, b, b_t))
+def fresh_inputs(rng, m: int, n: int, k: int, in_dtype=jnp.bfloat16):
+    """Fresh normal-random operands + transposed layout, on device."""
+    seed = int(rng.integers(0, 2**31 - 1))
+    return _gen_operands(jax.random.key(seed), m, n, k,
+                         jnp.dtype(in_dtype).name)
+
+
+# ---------------------------------------------------------------------------
+# fencing
+# ---------------------------------------------------------------------------
+
+def device_fence(x) -> None:
+    """TRUE completion wait: 1-element device→host transfer of (part of) x.
+
+    In-order execution on the PJRT stream means this drains everything
+    enqueued before it."""
+    while isinstance(x, (tuple, list)):
+        x = x[-1]
+    arr = x if getattr(x, "ndim", 0) == 0 else x[(0,) * x.ndim]
+    float(jax.device_get(arr).real)
+
+
+def fence_floor_ms(n: int = 3) -> float:
+    """Median fixed cost of a fence on an empty queue (~30 ms on tunneled
+    backends once any D2H has occurred, ~0 elsewhere)."""
+    z = jnp.zeros((8, 128))
+    device_fence(z + 1.0)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        device_fence(z + 1.0)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+# Recorded in result JSONs.
+sync_latency_probe = fence_floor_ms
+
+
+# ---------------------------------------------------------------------------
+# chained in-program measurement
+# ---------------------------------------------------------------------------
+
+def _adapt_output(c, m: int, k: int, in_dtype):
+    """Derive the next A input (m, k) from an output (m, n) — cheap, and a
+    true data dependency (the chain is what defeats execution dedup)."""
+    n = c.shape[1]
+    if n >= k:
+        a2 = c[:, :k]
+    else:
+        a2 = jnp.tile(c, (1, -(-k // n)))[:, :k]
+    return a2.astype(in_dtype)
+
+
+def make_chained_runner(fn: Callable, m: int, n: int, k: int,
+                        in_dtype, reps: int) -> Callable:
+    """Jitted program running `reps` chained iterations of fn(a, b, b_t)."""
+
+    @jax.jit
+    def run(a, b, b_t):
+        def body(a, _):
+            c = fn(a, b, b_t)
+            return _adapt_output(c, m, k, in_dtype), None
+        a_fin, _ = jax.lax.scan(body, a, None, length=reps)
+        return a_fin
+
+    return run
+
+
+class ChainedTimer:
+    """Per-function measurement harness for one (M, N, K, dtype) problem.
+
+    Builds two chained programs (R and R//4 reps); ``measure`` returns the
+    difference-method per-call milliseconds for one trial."""
+
+    def __init__(self, fn: Callable, m: int, n: int, k: int,
+                 in_dtype, reps: int):
+        self.m, self.n, self.k = m, n, k
+        self.reps_hi = max(int(reps), 8)
+        self.reps_lo = max(self.reps_hi // 4, 1)
+        self.run_hi = make_chained_runner(fn, m, n, k, in_dtype,
+                                          self.reps_hi)
+        self.run_lo = make_chained_runner(fn, m, n, k, in_dtype,
+                                          self.reps_lo)
+
+    def warmup(self, data) -> None:
+        device_fence(self.run_lo(*data))
+        device_fence(self.run_hi(*data))
+
+    def _t(self, run, data) -> float:
+        t0 = time.perf_counter()
+        device_fence(run(*data))
+        return time.perf_counter() - t0
+
+    def measure(self, data) -> tuple:
+        """One trial: returns (t_lo_seconds, t_hi_seconds)."""
+        return self._t(self.run_lo, data), self._t(self.run_hi, data)
+
+    @staticmethod
+    def per_call_ms(trials, reps_lo: int, reps_hi: int) -> float:
+        """Median-of-trials difference estimate, floor-free."""
+        lo = float(np.median([t[0] for t in trials]))
+        hi = float(np.median([t[1] for t in trials]))
+        return max(hi - lo, 1e-9) * 1e3 / (reps_hi - reps_lo)
+
+
+def estimate_per_call_ms(fn: Callable, data, m, n, k, in_dtype,
+                         probe_reps: int = 64) -> float:
+    """Quick floor-subtracted estimate used to size the rep counts."""
+    run = make_chained_runner(fn, m, n, k, in_dtype, probe_reps)
+    device_fence(run(*data))
+    floor = fence_floor_ms(2)
     t0 = time.perf_counter()
-    out = None
-    for _ in range(inner):
-        out = fn(a, b, b_t)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) * 1e3 / inner
+    device_fence(run(*data))
+    total = (time.perf_counter() - t0) * 1e3
+    return max((total - floor) / probe_reps, 1e-5)
+
+
+def pick_reps(per_call_ms: float, target_ms: float = 200.0,
+              max_reps: int = 20000) -> int:
+    return int(min(max_reps, max(8, target_ms / per_call_ms)))
 
 
 def tflops(m: int, n: int, k: int, ms: float) -> float:
     return 2.0 * m * n * k * 1e-12 * 1e3 / ms
 
 
-def run_all_perf_funcs_once(funcs: Dict[str, Callable], rng,
+def run_all_perf_funcs_once(timers: Dict[str, ChainedTimer], rng,
                             m: int, n: int, k: int,
-                            in_dtype=jnp.bfloat16,
-                            inner: int = 1) -> Dict[str, float]:
-    """One benchmark iteration: fresh inputs, shuffled func order, time each.
-
-    (reference benchmarking_offline.py:127-139 / benchmarking_utils.py:61-68)
-    """
-    a, b, b_t = fresh_inputs(rng, m, n, k, in_dtype)
-    order = list(funcs)
+                            in_dtype=jnp.bfloat16) -> Dict[str, tuple]:
+    """One benchmark iteration: fresh inputs, shuffled func order, one
+    chained trial each (reference benchmarking_offline.py:127-139)."""
+    data = fresh_inputs(rng, m, n, k, in_dtype)
+    order = list(timers)
     random.shuffle(order)
-    return {name: run_benchmark(funcs[name], a, b, b_t, inner=inner)
-            for name in order}
-
-
-def calibrate_inner(fn: Callable, a, b, b_t, target_ms: float = 0.5) -> int:
-    """Pick an inner-iteration count so one measurement is >= target_ms.
-
-    Dispatch overhead dominates tiny GEMMs on an async runtime (SURVEY.md §7
-    hard part (c)); batching keeps the measurement honest without letting
-    timer noise swamp it.  Returns 1 for any call >= target_ms (matching the
-    reference's single-call timing for non-tiny shapes)."""
-    jax.block_until_ready(fn(a, b, b_t))
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(a, b, b_t))
-    ms = (time.perf_counter() - t0) * 1e3
-    return max(1, int(target_ms / max(ms, 1e-6)))
+    return {name: timers[name].measure(data) for name in order}
 
 
 def percentile_stats(ms_list) -> dict:

@@ -64,9 +64,13 @@ def _device_order_barrier():
     so blocking on a fresh computation implies everything enqueued earlier —
     including work a cheating perf_func launched without tying it to its
     returned output — has finished.  This is the role of the reference's
-    ``torch.cuda.synchronize()`` full-device fence (defense.py:41-142)."""
+    ``torch.cuda.synchronize()`` full-device fence (defense.py:41-142).
+    Uses a 1-element D2H (bench_utils.device_fence), the only wait that is
+    reliable on every backend."""
     import jax.numpy as jnp
-    _REF_BLOCK_UNTIL_READY(jnp.zeros((8, 128)) + 1.0)
+
+    from tpul2.harness.bench_utils import device_fence
+    device_fence(jnp.zeros((8, 128)) + 1.0)
 
 
 def defend_against_async_cheating(perf_func: Callable, args: tuple,
