@@ -62,6 +62,35 @@ class TuneDB:
                 {"gen": self.gen, "version": 1, "entries": self._entries},
                 indent=1, sort_keys=True))
             tmp.replace(self.path)
+        self._save_native_sidecar()
+
+    def _save_native_sidecar(self) -> None:
+        """Mirror into the C++ binary cache (tpul2.native) — the fast-load
+        dispatch artifact for non-Python consumers; role parity with the
+        reference's compiled dispatch layer (SURVEY.md C13)."""
+        try:
+            from tpul2.native import NativeTuneCache, native_available
+            if not native_available():
+                return
+            nc = NativeTuneCache()
+            for key, e in self._entries.items():
+                mnk, acc, dt = key.split("/")
+                m, n, k = map(int, mnk.split("_"))
+                nc.put(m, n, k, KernelConfig(**e["config"]), acc=acc,
+                       in_dtype=dt, tflops=e.get("tflops", 0.0))
+            nc.save(self.path.with_suffix(".bin"))
+        except Exception:
+            pass  # sidecar is best-effort; JSON remains the source of truth
+
+    def native_cache(self):
+        """Load the binary sidecar into a NativeTuneCache (or None)."""
+        from tpul2.native import NativeTuneCache, native_available
+        if not native_available():
+            return None
+        sidecar = self.path.with_suffix(".bin")
+        if not sidecar.exists():
+            return None
+        return NativeTuneCache().load(sidecar)
 
     def _ensure(self):
         if not self._loaded:

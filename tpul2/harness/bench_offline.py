@@ -28,13 +28,17 @@ from tpul2.utils.platform import enable_compilation_cache
 
 
 def _build_timers(funcs, rng, m, n, k, in_dtype, target_ms):
+    from tpul2.utils.platform import debug_log
     data0 = bu.fresh_inputs(rng, m, n, k, in_dtype)
+    debug_log(f"{m}x{n}x{k}: data ready")
     timers = {}
     for name, fn in funcs.items():
         est = bu.estimate_per_call_ms(fn, data0, m, n, k, in_dtype)
-        timers[name] = bu.ChainedTimer(
-            fn, m, n, k, in_dtype, bu.pick_reps(est, target_ms=target_ms))
+        reps = bu.pick_reps(est, target_ms=target_ms)
+        debug_log(f"{m}x{n}x{k} {name}: est {est:.4f} ms/call -> reps {reps}")
+        timers[name] = bu.ChainedTimer(fn, m, n, k, in_dtype, reps)
         timers[name].warmup(data0)
+        debug_log(f"{m}x{n}x{k} {name}: warmed")
     return timers
 
 

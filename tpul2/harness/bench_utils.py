@@ -160,6 +160,25 @@ class ChainedTimer:
         return max(hi - lo, 1e-9) * 1e3 / (reps_hi - reps_lo)
 
 
+def physical_min_ms(m: int, n: int, k: int, in_dtype=jnp.bfloat16) -> float:
+    """Lower bound on per-call time from chip physics (MXU peak + HBM BW).
+
+    Clamps the rep-count sizing: a noisy floor estimate must never make us
+    believe a GEMM runs faster than the hardware allows (which would blow
+    rep counts up by orders of magnitude).  No-op off TPU."""
+    from tpul2.utils.platform import on_tpu, tpu_peak_flops
+    if not on_tpu():
+        return 1e-5
+    peak = tpu_peak_flops()
+    if not np.isfinite(peak):
+        peak = 2e14
+    hbm_bw = 819e9  # v5e; order-of-magnitude is all that matters here
+    item = jnp.dtype(in_dtype).itemsize
+    t_flops = 2.0 * m * n * k / peak
+    t_mem = ((m * k + k * n + m * n) * item) / hbm_bw
+    return max(t_flops, t_mem) * 0.7 * 1e3
+
+
 def estimate_per_call_ms(fn: Callable, data, m, n, k, in_dtype,
                          probe_reps: int = 64) -> float:
     """Quick floor-subtracted estimate used to size the rep counts."""
@@ -169,11 +188,12 @@ def estimate_per_call_ms(fn: Callable, data, m, n, k, in_dtype,
     t0 = time.perf_counter()
     device_fence(run(*data))
     total = (time.perf_counter() - t0) * 1e3
-    return max((total - floor) / probe_reps, 1e-5)
+    return max((total - floor) / probe_reps,
+               physical_min_ms(m, n, k, in_dtype), 1e-5)
 
 
 def pick_reps(per_call_ms: float, target_ms: float = 200.0,
-              max_reps: int = 20000) -> int:
+              max_reps: int = 4096) -> int:
     return int(min(max_reps, max(8, target_ms / per_call_ms)))
 
 

@@ -54,6 +54,16 @@ def tpu_generation() -> str:
     return "unknown"
 
 
+def debug_log(msg: str) -> None:
+    """Progress logging for long device-bound phases (TPUL2_DEBUG=1)."""
+    import os
+    import sys
+    import time as _time
+    if os.environ.get("TPUL2_DEBUG") == "1":
+        print(f"[tpul2 {_time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+
 _cache_enabled = False
 
 
