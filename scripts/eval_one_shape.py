@@ -57,6 +57,9 @@ def parse_args(argv=None):
                          "and discards its results.")
     ap.add_argument("--isolate", action="store_true",
                     help="one subprocess per baseline (reference behavior)")
+    ap.add_argument("--defend", action="store_true",
+                    help="run the benchmark-integrity defenses on the "
+                         "candidate before summarizing (SURVEY.md C8)")
     ap.add_argument("--perf_funcs", nargs="*", default=None,
                     help="subset of baselines (default: all 7)")
     args = ap.parse_args(argv)
@@ -188,6 +191,28 @@ def main(argv=None) -> int:
     if not args.skip_correctness and not args.gate_first:
         if not run_gate():
             return 1
+
+    # --- benchmark-integrity defenses on the candidate (ref C8) ---
+    if args.defend:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpul2.dispatch import candidate_fn
+        from tpul2.harness.bench_utils import fresh_inputs
+        from tpul2.harness.defense import run_all_defenses
+        data = fresh_inputs(np.random.default_rng(args.seed), m, n, k)
+        dres = run_all_defenses(candidate_fn(args.acc), tuple(data),
+                                expected_dtype=jnp.bfloat16,
+                                expected_shape=(m, n))
+        (base / "defense_result.json").write_text(
+            json.dumps(dres, indent=1, default=str))
+        if not dres["pass"]:
+            print("defense checks FAILED:", file=sys.stderr)
+            for r in dres["defenses"]:
+                if not r["pass"]:
+                    print(f"  {r['name']}: {r}", file=sys.stderr)
+            return 1
+        print(f"defense checks passed ({len(dres['defenses'])} defenses)")
 
     # --- summary (ref :135) ---
     md = summarize_results(str(base), write_path=str(base / "summary.md"))

@@ -22,4 +22,4 @@ Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
 __version__ = "0.1.0"
 
 from tpul2.config import KernelConfig  # noqa: F401
-from tpul2.dispatch import matmul  # noqa: F401
+from tpul2.dispatch import matmul, batched_matmul  # noqa: F401

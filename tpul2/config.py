@@ -177,9 +177,9 @@ def candidate_configs(m: int, n: int, k: int,
     waste cap, ordered by a cheap cost prior.
     """
     sub = min_sublane(in_dtype)
-    bms = [b for b in (sub, 32, 64, 128, 256, 512) if b % sub == 0]
-    bns = [128, 256, 512, 1024]
-    bks = [128, 256, 512, 1024, 2048]
+    bms = [b for b in (sub, 32, 64, 128, 256, 512, 1024) if b % sub == 0]
+    bns = [128, 256, 512, 1024, 2048]
+    bks = [128, 256, 512, 1024, 2048, 4096]
 
     out = []
     for bm in bms:

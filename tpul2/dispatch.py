@@ -39,11 +39,14 @@ def matmul(a: jax.Array, b: jax.Array, *,
            acc: str = "float32",
            out_dtype=None,
            config: Optional[KernelConfig] = None,
-           interpret: Optional[bool] = None) -> jax.Array:
-    """Tuned C = A @ B.  a: (M, K), b: (K, N).
+           interpret: Optional[bool] = None,
+           bias: Optional[jax.Array] = None,
+           activation: Optional[str] = None) -> jax.Array:
+    """Tuned C = act(A @ B + bias).  a: (M, K), b: (K, N), bias: (N,)|None.
 
     acc: 'float32' (reference F32F16F16F32 family) or 'bfloat16'
-    (F16F16F16F16 family).  config overrides the DB/heuristic choice.
+    (F16F16F16F16 family).  config overrides the DB/heuristic choice;
+    bias/activation fuse into the kernel epilogue.
     """
     m, k = a.shape
     n = b.shape[1]
@@ -51,9 +54,39 @@ def matmul(a: jax.Array, b: jax.Array, *,
         config = resolve_config(m, n, k, acc, a.dtype)
     if config.use_xla:
         out = jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        from tpul2.ops.matmul import ACTIVATIONS
+        out = ACTIVATIONS[activation](out)
         return out.astype(out_dtype or a.dtype)
-    return pallas_matmul(a, b, config=config, out_dtype=out_dtype,
-                         interpret=interpret)
+    if bias is None and activation is None:
+        return pallas_matmul(a, b, config=config, out_dtype=out_dtype,
+                             interpret=interpret)
+    from tpul2.ops.matmul import pallas_matmul_fused
+    return pallas_matmul_fused(a, b, bias=bias, activation=activation,
+                               config=config, out_dtype=out_dtype,
+                               interpret=interpret)
+
+
+def batched_matmul(a: jax.Array, b: jax.Array, *,
+                   acc: str = "float32",
+                   out_dtype=None,
+                   config: Optional[KernelConfig] = None,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """Tuned C[t] = A[t] @ B[t].  a: (B, M, K), b: (B, K, N).
+
+    Per-shape config resolution keys on (M, N, K) — the batch axis reuses
+    the 2D tiling."""
+    from tpul2.ops.batched import pallas_batched_matmul
+    _, m, k = a.shape
+    n = b.shape[2]
+    if config is None:
+        config = resolve_config(m, n, k, acc, a.dtype)
+    if config.use_xla:
+        out = jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        return out.astype(out_dtype or a.dtype)
+    return pallas_batched_matmul(a, b, config=config, out_dtype=out_dtype,
+                                 interpret=interpret)
 
 
 @jax.jit

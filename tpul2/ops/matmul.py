@@ -34,8 +34,33 @@ from tpul2.utils.padding import pad_operands
 from tpul2.utils.platform import default_interpret
 
 
-def _kernel_multi_k(a_ref, b_ref, o_ref, acc_ref, *, acc_dtype, out_dtype):
+#: Fused epilogues applied to the f32 accumulator before the output cast —
+#: the role of the reference kernels' smem-staged epilogue (:143-176),
+#: extended with elementwise fusion (a classic Pallas win: XLA fuses these
+#: into ITS dots; the tuned kernel must not lose that fusion to an extra
+#: HBM round trip).
+ACTIVATIONS = {
+    None: lambda x: x,
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "gelu": jax.nn.gelu,
+    "silu": jax.nn.silu,
+    "tanh": jnp.tanh,
+}
+
+
+def _apply_epilogue(acc_f32, bias_ref, activation):
+    if bias_ref is not None:
+        acc_f32 = acc_f32 + bias_ref[:].astype(jnp.float32)
+    return ACTIVATIONS[activation](acc_f32)
+
+
+def _kernel_multi_k(a_ref, b_ref, *rest, acc_dtype, out_dtype, has_bias,
+                    activation):
     """Grid step with K-accumulation carry (grid_k > 1)."""
+    if has_bias:
+        bias_ref, o_ref, acc_ref = rest
+    else:
+        (o_ref, acc_ref), bias_ref = rest, None
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -48,20 +73,25 @@ def _kernel_multi_k(a_ref, b_ref, o_ref, acc_ref, *, acc_dtype, out_dtype):
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _epilogue():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        acc = acc_ref[:].astype(jnp.float32)
+        o_ref[:] = _apply_epilogue(acc, bias_ref, activation).astype(out_dtype)
 
 
-def _kernel_single_k(a_ref, b_ref, o_ref, *, out_dtype):
+def _kernel_single_k(a_ref, b_ref, *rest, out_dtype, has_bias, activation):
     """Grid step when the whole K dimension fits one block: no carry, no
     scratch — the analogue of the reference's hand-rolled small-shape WMMA
     kernels (SURVEY.md C9, e.g. kernels/h100_F32F16F16F32/64_64_64.cu)."""
-    o_ref[:] = jnp.dot(
-        a_ref[:], b_ref[:], preferred_element_type=jnp.float32
-    ).astype(out_dtype)
+    if has_bias:
+        bias_ref, o_ref = rest
+    else:
+        (o_ref,), bias_ref = rest, None
+    acc = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = _apply_epilogue(acc, bias_ref, activation).astype(out_dtype)
 
 
 def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
-                in_dtype, out_dtype, interpret: bool):
+                in_dtype, out_dtype, interpret: bool,
+                has_bias: bool = False, activation=None):
     """Assemble the pallas_call for an already-padded (mp, np_, kp) problem."""
     bm, bn, bk = cfg.bm, cfg.bn, cfg.bk
     gm, gn, gk = mp // bm, np_ // bn, kp // bk
@@ -75,11 +105,13 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
         a_map = lambda i, j, k: (i, k)  # noqa: E731
         b_map = lambda i, j, k: (k, j)  # noqa: E731
         o_map = lambda i, j, k: (i, j)  # noqa: E731
+        bias_map = lambda i, j, k: (0, j)  # noqa: E731
     else:
         grid = (gn, gm, gk)
         a_map = lambda j, i, k: (i, k)  # noqa: E731
         b_map = lambda j, i, k: (k, j)  # noqa: E731
         o_map = lambda j, i, k: (i, j)  # noqa: E731
+        bias_map = lambda j, i, k: (0, j)  # noqa: E731
 
     cost = pl.CostEstimate(
         flops=2 * mp * np_ * kp,
@@ -93,21 +125,28 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=dim_sem, **params)
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), a_map),
+        pl.BlockSpec((bk, bn), b_map),
+    ]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, bn), bias_map))
+
     if gk == 1:
-        kernel = functools.partial(_kernel_single_k, out_dtype=out_dtype)
+        kernel = functools.partial(
+            _kernel_single_k, out_dtype=out_dtype, has_bias=has_bias,
+            activation=activation)
         scratch = []
     else:
         kernel = functools.partial(
-            _kernel_multi_k, acc_dtype=acc_dtype, out_dtype=out_dtype)
+            _kernel_multi_k, acc_dtype=acc_dtype, out_dtype=out_dtype,
+            has_bias=has_bias, activation=activation)
         scratch = [pltpu.VMEM((bm, bn), acc_dtype)]
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), a_map),
-            pl.BlockSpec((bk, bn), b_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), o_map),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=scratch,
@@ -117,20 +156,85 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
     )
 
 
-def _forward_padded(a, b, cfg: KernelConfig, out_dtype, interpret: bool):
+def _forward_padded(a, b, cfg: KernelConfig, out_dtype, interpret: bool,
+                    bias=None, activation=None):
     a_p, b_p, (m, n) = pad_operands(a, b, cfg.bm, cfg.bn, cfg.bk)
     mp, kp = a_p.shape
     _, np_ = b_p.shape
     call = _build_call(mp, np_, kp, cfg, a.dtype, jnp.dtype(out_dtype),
-                       interpret)
+                       interpret, has_bias=bias is not None,
+                       activation=activation)
+    if bias is not None:
+        bias_p = jnp.pad(bias.reshape(1, -1), ((0, 0), (0, np_ - n)))
+        return call(a_p, b_p, bias_p), (m, n)
     return call(a_p, b_p), (m, n)
 
 
-def _forward(a, b, cfg: KernelConfig, out_dtype, interpret: bool):
-    out, (m, n) = _forward_padded(a, b, cfg, out_dtype, interpret)
+def _forward(a, b, cfg: KernelConfig, out_dtype, interpret: bool,
+             bias=None, activation=None):
+    out, (m, n) = _forward_padded(a, b, cfg, out_dtype, interpret,
+                                  bias=bias, activation=activation)
     if out.shape != (m, n):
         out = out[:m, :n]
     return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_vjp(a, b, bias, cfg, out_dtype_name, activation, interpret):
+    return _forward(a, b, cfg, jnp.dtype(out_dtype_name), interpret,
+                    bias=bias, activation=activation)
+
+
+def _fused_ref_f32(a, b, bias, activation):
+    """Differentiable XLA reference of the fused epilogue (used for bwd)."""
+    h = jnp.matmul(a.astype(jnp.float32), b.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    if bias is not None:
+        h = h + bias.astype(jnp.float32)
+    return ACTIVATIONS[activation](h)
+
+
+def _fused_fwd(a, b, bias, cfg, out_dtype_name, activation, interpret):
+    out = _fused_vjp(a, b, bias, cfg, out_dtype_name, activation, interpret)
+    return out, (a, b, bias)
+
+
+def _fused_bwd(cfg, out_dtype_name, activation, interpret, res, g):
+    a, b, bias = res
+    _, vjp = jax.vjp(lambda a_, b_, bias_:
+                     _fused_ref_f32(a_, b_, bias_, activation), a, b, bias)
+    da, db, dbias = vjp(g.astype(jnp.float32))
+    return (da.astype(a.dtype), db.astype(b.dtype),
+            None if bias is None else dbias.astype(bias.dtype))
+
+
+_fused_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def pallas_matmul_fused(a: jax.Array, b: jax.Array,
+                        bias: Optional[jax.Array] = None,
+                        activation: Optional[str] = None,
+                        config: Optional[KernelConfig] = None,
+                        out_dtype=None,
+                        interpret: Optional[bool] = None) -> jax.Array:
+    """act(A @ B + bias) with the epilogue fused into the kernel.
+
+    bias: optional (N,) vector added per output column; activation: one of
+    ACTIVATIONS.  Keeps the elementwise tail inside the tuned kernel's
+    epilogue instead of a second HBM pass.  Differentiable."""
+    if activation is not None and activation not in ACTIVATIONS:
+        raise ValueError(f"unknown activation {activation}; "
+                         f"choose from {sorted(k for k in ACTIVATIONS if k)}")
+    cfg = config or KernelConfig()
+    if out_dtype is None:
+        out_dtype = a.dtype
+    if interpret is None:
+        interpret = default_interpret()
+    err = cfg.validate(a.dtype)
+    if err:
+        raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
+    return _fused_vjp(a, b, bias, cfg, jnp.dtype(out_dtype).name,
+                      activation, bool(interpret))
 
 
 def pallas_matmul_padded(a, b, config: KernelConfig, out_dtype=None,
