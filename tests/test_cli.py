@@ -72,3 +72,12 @@ def test_eval_defend_flag(tmp_path):
                    "--perf_funcs", "xla_matmul"])
     assert rc == 0
     assert (tmp_path / "defense_result.json").exists()
+
+
+def test_profile_cli(capsys):
+    rc = harness_main(["profile", "--mnk", "32", "128", "128",
+                       "--trials", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "tpul2" in out and "tflops" in out["tpul2"]
+    assert out["speedup_vs_xla"] > 0

@@ -28,8 +28,18 @@ def test_lane_alignment_rejected():
 
 
 def test_vmem_budget_rejected():
-    big = KernelConfig(bm=512, bn=2048, bk=16384)
+    big = KernelConfig(bm=128, bn=2048, bk=2048)
     assert "vmem" in (big.validate(jnp.bfloat16) or "")
+    # ...but the same config is fine for a problem where B doesn't move
+    # (single K step, single N block -> single-buffered).
+    assert big.validate(jnp.bfloat16, shape=(4096, 2048, 2048)) is None
+
+
+def test_a_block_cap_rejected():
+    cfg = KernelConfig(bm=512, bn=128, bk=4096)
+    assert "a-block" in (cfg.validate(jnp.bfloat16) or "")
+    assert KernelConfig(bm=256, bn=128, bk=4096).validate(
+        jnp.bfloat16, shape=(256, 128, 4096)) is None
 
 
 def test_vmem_model_counts_double_buffering():

@@ -33,9 +33,17 @@ import jax.numpy as jnp
 
 from tpul2.utils.padding import LANE, cdiv, min_sublane, round_up
 
-#: Default VMEM budget per kernel (bytes). v5e/v5p have 128 MiB of VMEM per
-#: core; leave headroom for Mosaic's own buffers and the output window.
-DEFAULT_VMEM_BUDGET = 96 * 1024 * 1024
+#: Default VMEM budget per kernel (bytes).  TPU cores have ~16 MiB of VMEM;
+#: 14 MiB is the empirically calibrated limit on v5e — every probed config
+#: whose (conditional) footprint model exceeded it was rejected by the
+#: Mosaic compiler, everything at or below compiled (see probe matrix in
+#: the round-1 tuning campaign).
+DEFAULT_VMEM_BUDGET = 14 * 1024 * 1024
+
+#: Per-copy cap on the A (LHS) block, empirically required by Mosaic on
+#: v5e: (bm=512, bk=4096) bf16 = 4 MiB fails even with total footprint in
+#: budget; every a-block ≤ 2 MiB compiles.
+A_BLOCK_CAP = 2 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,8 +80,9 @@ class KernelConfig:
         return KernelConfig(use_xla=True)
 
     # ---- static validity model ----
-    def vmem_bytes(self, in_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16) -> int:
-        """Static VMEM footprint model.
+    def vmem_bytes(self, in_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16,
+                   shape: Optional[tuple] = None) -> int:
+        """Static VMEM footprint model, empirically calibrated on v5e.
 
         The analogue of the reference's ``kShmSize`` shared-memory accounting
         (kernels/*:263-273 set dynamic smem size and fail if over budget) —
@@ -81,7 +90,11 @@ class KernelConfig:
         compile, because interpret-mode (CPU) testing won't catch them
         (SURVEY.md §7 hard part (e)).
 
-        Pallas double-buffers every blocked operand across grid steps.
+        Mosaic double-buffers a blocked operand only when its block index
+        actually moves across the grid; the K-accumulator scratch exists
+        only when the K grid has more than one step.  With ``shape``
+        (m, n, k) the model is exact for that problem; without it, the
+        worst case (everything double-buffered + accumulator) is assumed.
         """
         in_item = jnp.dtype(in_dtype).itemsize
         out_item = jnp.dtype(out_dtype).itemsize
@@ -90,10 +103,20 @@ class KernelConfig:
         b_blk = self.bk * self.bn * in_item
         o_blk = self.bm * self.bn * out_item
         acc = self.bm * self.bn * acc_item
-        return 2 * (a_blk + b_blk) + 2 * o_blk + acc
+        if shape is None:
+            return 2 * (a_blk + b_blk) + 2 * o_blk + acc
+        m, n, k = shape
+        gm, gn, gk = cdiv(m, self.bm), cdiv(n, self.bn), cdiv(k, self.bk)
+        a_mult = 2 if (gm > 1 or gk > 1) else 1   # a index = (i, k)
+        b_mult = 2 if (gn > 1 or gk > 1) else 1   # b index = (k, j)
+        o_mult = 2 if (gm > 1 or gn > 1) else 1   # o index = (i, j)
+        if gk == 1:
+            acc = 0
+        return a_mult * a_blk + b_mult * b_blk + o_mult * o_blk + acc
 
     def validate(self, in_dtype=jnp.bfloat16,
-                 budget: int = DEFAULT_VMEM_BUDGET) -> Optional[str]:
+                 budget: int = DEFAULT_VMEM_BUDGET,
+                 shape: Optional[tuple] = None) -> Optional[str]:
         """Return an error string if the config is invalid, else None."""
         if self.use_xla:
             return None
@@ -108,9 +131,13 @@ class KernelConfig:
             return f"unsupported acc_dtype {self.acc_dtype}"
         if self.grid_order not in ("mn", "nm"):
             return f"bad grid_order {self.grid_order}"
-        if self.vmem_bytes(in_dtype) > budget:
-            return (f"vmem footprint {self.vmem_bytes(in_dtype)} "
-                    f"exceeds budget {budget}")
+        in_item = jnp.dtype(in_dtype).itemsize
+        if self.bm * self.bk * in_item > A_BLOCK_CAP:
+            return (f"a-block {self.bm}x{self.bk} exceeds the "
+                    f"{A_BLOCK_CAP >> 20} MiB Mosaic block cap")
+        if self.vmem_bytes(in_dtype, shape=shape) > budget:
+            return (f"vmem footprint {self.vmem_bytes(in_dtype, shape=shape)}"
+                    f" exceeds budget {budget}")
         return None
 
     # ---- derived quantities ----
@@ -155,11 +182,12 @@ def heuristic_config(m: int, n: int, k: int,
     bk = pick(k, LANE, (128, 256, 512, 1024))
     cfg = KernelConfig(bm=bm, bn=bn, bk=bk, acc_dtype=acc_dtype)
     # Shrink until within budget (large bm×bn accumulators).
-    while cfg.validate(in_dtype) is not None and cfg.bk > LANE:
+    shape = (m, n, k)
+    while cfg.validate(in_dtype, shape=shape) is not None and cfg.bk > LANE:
         cfg = dataclasses.replace(cfg, bk=cfg.bk // 2)
-    while cfg.validate(in_dtype) is not None and cfg.bn > LANE:
+    while cfg.validate(in_dtype, shape=shape) is not None and cfg.bn > LANE:
         cfg = dataclasses.replace(cfg, bn=cfg.bn // 2)
-    while cfg.validate(in_dtype) is not None and cfg.bm > sub:
+    while cfg.validate(in_dtype, shape=shape) is not None and cfg.bm > sub:
         cfg = dataclasses.replace(cfg, bm=cfg.bm // 2)
     return cfg
 
@@ -194,7 +222,8 @@ def candidate_configs(m: int, n: int, k: int,
                 for order in ("mn", "nm"):
                     cfg = KernelConfig(bm=bm, bn=bn, bk=bk,
                                        acc_dtype=acc_dtype, grid_order=order)
-                    if cfg.validate(in_dtype, budget) is not None:
+                    if cfg.validate(in_dtype, budget,
+                                    shape=(m, n, k)) is not None:
                         continue
                     if cfg.padding_waste(m, n, k) > 0.6:
                         continue

@@ -54,6 +54,11 @@ def main(argv=None) -> int:
     d = sub.add_parser("defend")
     add_shape(d)
 
+    pr = sub.add_parser("profile")
+    add_shape(pr)
+    pr.add_argument("--trace_dir", type=str, default=None)
+    pr.add_argument("--trials", type=int, default=5)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "correctness":
@@ -87,6 +92,15 @@ def main(argv=None) -> int:
     if args.cmd == "summarize":
         from tpul2.harness.summarize import summarize_results
         print(summarize_results(args.base_dir, write_path=args.out))
+        return 0
+
+    if args.cmd == "profile":
+        from tpul2.harness.profiling import profile_shape
+        m, n, k = args.mnk
+        print(json.dumps(profile_shape(m, n, k, acc=args.acc,
+                                       trials=args.trials,
+                                       trace_dir=args.trace_dir),
+                         indent=1, default=str))
         return 0
 
     if args.cmd == "defend":

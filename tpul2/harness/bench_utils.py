@@ -193,7 +193,7 @@ def estimate_per_call_ms(fn: Callable, data, m, n, k, in_dtype,
 
 
 def pick_reps(per_call_ms: float, target_ms: float = 200.0,
-              max_reps: int = 4096) -> int:
+              max_reps: int = 100_000) -> int:
     return int(min(max_reps, max(8, target_ms / per_call_ms)))
 
 

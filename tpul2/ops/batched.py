@@ -52,7 +52,7 @@ def pallas_batched_matmul(a: jax.Array, b: jax.Array,
         out_dtype = a.dtype
     if interpret is None:
         interpret = default_interpret()
-    err = cfg.validate(a.dtype)
+    err = cfg.validate(a.dtype, shape=(a.shape[1], b.shape[2], a.shape[2]))
     if err:
         raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
 

@@ -230,7 +230,7 @@ def pallas_matmul_fused(a: jax.Array, b: jax.Array,
         out_dtype = a.dtype
     if interpret is None:
         interpret = default_interpret()
-    err = cfg.validate(a.dtype)
+    err = cfg.validate(a.dtype, shape=(a.shape[0], b.shape[1], a.shape[1]))
     if err:
         raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
     return _fused_vjp(a, b, bias, cfg, jnp.dtype(out_dtype).name,
@@ -252,7 +252,7 @@ def pallas_matmul_padded(a, b, config: KernelConfig, out_dtype=None,
         out_dtype = a.dtype
     if interpret is None:
         interpret = default_interpret()
-    err = config.validate(a.dtype)
+    err = config.validate(a.dtype, shape=(a.shape[0], b.shape[1], a.shape[1]))
     if err:
         raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
     out, _ = _forward_padded(a, b, config, jnp.dtype(out_dtype), interpret)
@@ -298,7 +298,7 @@ def pallas_matmul(a: jax.Array, b: jax.Array,
     if interpret is None:
         interpret = default_interpret()
 
-    err = cfg.validate(a.dtype)
+    err = cfg.validate(a.dtype, shape=(a.shape[0], b.shape[1], a.shape[1]))
     if err:
         raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
 
