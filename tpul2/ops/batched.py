@@ -42,11 +42,48 @@ def _bmm_kernel_single_k(a_ref, b_ref, o_ref, *, out_dtype):
                        preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _bmm_vjp(a, b, cfg, out_dtype_name, interpret):
+    return _bmm_forward(a, b, cfg, jnp.dtype(out_dtype_name), interpret)
+
+
+def _bmm_fwd(a, b, cfg, out_dtype_name, interpret):
+    return _bmm_vjp(a, b, cfg, out_dtype_name, interpret), (a, b)
+
+
+def _bmm_bwd(cfg, out_dtype_name, interpret, res, g):
+    # Backward via XLA batched dots (correct and MXU-optimal for the
+    # transposed layouts; same policy as ops.matmul._matmul_bwd).
+    a, b = res
+    gf = g.astype(jnp.float32)
+    da = jnp.matmul(gf, jnp.swapaxes(b.astype(jnp.float32), 1, 2))
+    db = jnp.matmul(jnp.swapaxes(a.astype(jnp.float32), 1, 2), gf)
+    return da.astype(a.dtype), db.astype(b.dtype)
+
+
+_bmm_vjp.defvjp(_bmm_fwd, _bmm_bwd)
+
+
 def pallas_batched_matmul(a: jax.Array, b: jax.Array,
                           config: Optional[KernelConfig] = None,
                           out_dtype=None,
                           interpret: Optional[bool] = None) -> jax.Array:
-    """C[b] = A[b] @ B[b] for b in range(batch)."""
+    """C[b] = A[b] @ B[b] for b in range(batch).  Differentiable."""
+    cfg = config or KernelConfig()
+    if out_dtype is None:
+        out_dtype = a.dtype
+    if interpret is None:
+        interpret = default_interpret()
+    err = cfg.validate(a.dtype, shape=(a.shape[1], b.shape[2], a.shape[2]))
+    if err:
+        raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
+    return _bmm_vjp(a, b, cfg, jnp.dtype(out_dtype).name, bool(interpret))
+
+
+def _bmm_forward(a: jax.Array, b: jax.Array,
+                 config: Optional[KernelConfig] = None,
+                 out_dtype=None,
+                 interpret: Optional[bool] = None) -> jax.Array:
     cfg = config or KernelConfig()
     if out_dtype is None:
         out_dtype = a.dtype
