@@ -176,9 +176,11 @@ class _ShapeTuning:
             data = data3[r % len(data3)]
             for i in order:
                 trials[i].append(timers[i].measure(data))
+        phys = bu.physical_min_ms(m, n, k, in_dtype)
         self.med2 = {
             i: bu.ChainedTimer.per_call_ms(
-                trials[i], timers[i].reps_lo, timers[i].reps_hi)
+                trials[i], timers[i].reps_lo, timers[i].reps_hi,
+                phys_min_ms=phys)
             for i in order}
         del datasets, data3
         self.elapsed_timing = time.perf_counter() - self.t_start

@@ -49,7 +49,9 @@ def _collect(records, timers, m, n, k):
         diffs = [max(hi - lo, 1e-9) * 1e3 / (t.reps_hi - t.reps_lo)
                  for (lo, hi) in trials]
         stats = bu.percentile_stats(diffs)
-        per_call = bu.ChainedTimer.per_call_ms(trials, t.reps_lo, t.reps_hi)
+        per_call = bu.ChainedTimer.per_call_ms(
+            trials, t.reps_lo, t.reps_hi,
+            phys_min_ms=bu.physical_min_ms(m, n, k))
         out[name] = {
             **stats,
             "per_call_ms": per_call,

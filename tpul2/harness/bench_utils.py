@@ -97,15 +97,21 @@ sync_latency_probe = fence_floor_ms
 # chained in-program measurement
 # ---------------------------------------------------------------------------
 
-def _adapt_output(c, m: int, k: int, in_dtype):
-    """Derive the next A input (m, k) from an output (m, n) — cheap, and a
-    true data dependency (the chain is what defeats execution dedup)."""
+def _adapt_output(a, c, i, k: int, in_dtype):
+    """Derive the next A input (m, k) from the output (m, n) — cheap, a true
+    data dependency, and NOT algebraically factorable.
+
+    The n < k case must not use tile: XLA's simplifier can rewrite
+    ``tile(c) @ b`` as ``c @ (summed slices of b)``, collapsing the chained
+    workload by k/n× (observed as 8× 'above-peak' throughput on skinny-N
+    shapes).  Instead, c overwrites a sliding window of the previous A —
+    dependent on the full history, nothing to factor."""
     n = c.shape[1]
     if n >= k:
-        a2 = c[:, :k]
-    else:
-        a2 = jnp.tile(c, (1, -(-k // n)))[:, :k]
-    return a2.astype(in_dtype)
+        return c[:, :k].astype(in_dtype)
+    max_off = k - n
+    off = jax.lax.rem(i * n, max_off + 1) if max_off > 0 else 0
+    return jax.lax.dynamic_update_slice(a, c.astype(in_dtype), (0, off))
 
 
 def make_chained_runner(fn: Callable, m: int, n: int, k: int,
@@ -114,10 +120,12 @@ def make_chained_runner(fn: Callable, m: int, n: int, k: int,
 
     @jax.jit
     def run(a, b, b_t):
-        def body(a, _):
+        def body(carry, _):
+            a, i = carry
             c = fn(a, b, b_t)
-            return _adapt_output(c, m, k, in_dtype), None
-        a_fin, _ = jax.lax.scan(body, a, None, length=reps)
+            return (_adapt_output(a, c, i, k, in_dtype), i + 1), None
+        (a_fin, _), _ = jax.lax.scan(body, (a, jnp.int32(0)), None,
+                                     length=reps)
         return a_fin
 
     return run
@@ -153,11 +161,18 @@ class ChainedTimer:
         return self._t(self.run_lo, data), self._t(self.run_hi, data)
 
     @staticmethod
-    def per_call_ms(trials, reps_lo: int, reps_hi: int) -> float:
-        """Median-of-trials difference estimate, floor-free."""
+    def per_call_ms(trials, reps_lo: int, reps_hi: int,
+                    phys_min_ms: float = 0.0) -> float:
+        """Median-of-trials difference estimate, floor-free.
+
+        Clamped below by the physical minimum (chip peak / HBM bandwidth):
+        measurement noise must never report faster-than-hardware results
+        (the reference's defense module exists for the same reason —
+        benchmark numbers must be unfoolable, including by our own noise)."""
         lo = float(np.median([t[0] for t in trials]))
         hi = float(np.median([t[1] for t in trials]))
-        return max(hi - lo, 1e-9) * 1e3 / (reps_hi - reps_lo)
+        est = max(hi - lo, 1e-9) * 1e3 / (reps_hi - reps_lo)
+        return max(est, phys_min_ms)
 
 
 def physical_min_ms(m: int, n: int, k: int, in_dtype=jnp.bfloat16) -> float:

@@ -95,8 +95,9 @@ def profile_shape(m: int, n: int, k: int,
         timer.warmup(data)
         with maybe_trace(trace_dir if name == "tpul2" else None):
             trials_t = [timer.measure(data) for _ in range(trials)]
-        ms = bu.ChainedTimer.per_call_ms(trials_t, timer.reps_lo,
-                                         timer.reps_hi)
+        ms = bu.ChainedTimer.per_call_ms(
+            trials_t, timer.reps_lo, timer.reps_hi,
+            phys_min_ms=bu.physical_min_ms(m, n, k, in_dtype))
         report[name] = roofline(m, n, k, ms, in_dtype)
     if "xla" in report:
         report["speedup_vs_xla"] = (report["xla"]["ms"]
