@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Aggregate per-shape speedup CSVs into summary tables.
+
+The analogue of the reference README's "What's New" mean-speedup tables
+(README.md:27-67), computed from eval_results CSVs exactly as SURVEY.md §6
+verified them: arithmetic mean and geometric mean per baseline column.
+
+  python scripts/aggregate_results.py eval_results/*.csv
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import sys
+from pathlib import Path
+
+
+def aggregate(path: Path) -> dict:
+    with path.open() as f:
+        rows = list(csv.DictReader(f))
+    if not rows:
+        return {}
+    cols = [c for c in rows[0] if c != "mnk"]
+    out = {}
+    for c in cols:
+        vals = [float(r[c]) for r in rows if r.get(c)]
+        if not vals:
+            continue
+        out[c] = {
+            "n": len(vals),
+            "mean": sum(vals) / len(vals),
+            "geomean": math.exp(sum(math.log(v) for v in vals) / len(vals)),
+            "wins": sum(v > 1.001 for v in vals),
+            "ties": sum(0.999 <= v <= 1.001 for v in vals),
+        }
+    return out
+
+
+def main(argv=None) -> int:
+    paths = [Path(p) for p in (argv or sys.argv[1:])]
+    if not paths:
+        print("usage: aggregate_results.py CSV [CSV...]", file=sys.stderr)
+        return 2
+    for p in paths:
+        agg = aggregate(p)
+        if not agg:
+            continue
+        print(f"\n## {p.name} ({next(iter(agg.values()))['n']} shapes)\n")
+        print("| Baseline | Mean speedup | Geomean | wins | ties |")
+        print("|---|---|---|---|---|")
+        for c, s in agg.items():
+            print(f"| {c} | {s['mean']:.4f}x | {s['geomean']:.4f}x "
+                  f"| {s['wins']} | {s['ties']} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,3 +69,16 @@ def test_eval_failure_fails_fast(tmp_path, monkeypatch):
     rc = rs.main(["eval", "--dims", "64", "--max_shapes", "1",
                   "--out", str(tmp_path / "x.csv")])
     assert rc == 1
+
+
+def test_aggregate_results(tmp_path, capsys):
+    import scripts.aggregate_results as agg
+
+    p = tmp_path / "s.csv"
+    p.write_text("mnk,jnp.matmul,XLA-dot-max\n"
+                 "64x64x64,1.2,1.0\n"
+                 "128x128x128,0.9,1.1\n")
+    rc = agg.main([str(p)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "jnp.matmul" in out and "1.0392x" in out  # geomean of 1.2, 0.9
