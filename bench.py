@@ -40,6 +40,11 @@ DEFAULT_SHAPES = [
     (4096, 64, 4096),
     (8192, 128, 8192),
     (2048, 8192, 512),
+    # thin-K band (~27% of the reference 10^3 grid has a 64-dim; XLA's
+    # tiling degrades on sub-lane contractions)
+    (512, 512, 64),
+    (4096, 512, 512),
+    (64, 4096, 512),
 ]
 
 

@@ -99,16 +99,29 @@ sync_latency_probe = fence_floor_ms
 
 def _adapt_output(a, c, i, k: int, in_dtype):
     """Derive the next A input (m, k) from the output (m, n) — cheap, a true
-    data dependency, and NOT algebraically factorable.
+    data dependency, and NOT algebraically reducible.
 
-    The n < k case must not use tile: XLA's simplifier can rewrite
-    ``tile(c) @ b`` as ``c @ (summed slices of b)``, collapsing the chained
-    workload by k/n× (observed as 8× 'above-peak' throughput on skinny-N
-    shapes).  Instead, c overwrites a sliding window of the previous A —
-    dependent on the full history, nothing to factor."""
+    Two compiler rewrites must be defeated (both observed producing
+    impossible 'above-peak' measurements):
+
+      n < k: ``tile(c) @ b`` folds to ``c @ (summed slices of b)``,
+      collapsing the workload k/n×.  Instead c overwrites a sliding window
+      of the previous A (dynamic_update_slice) — history-dependent, nothing
+      to factor.
+
+      n > k: ``(a @ b)[:, :k]`` narrows to ``a @ b[:, :k]``, and the rest
+      of c becomes dead code — shrinking the measured matmul n/k× (and,
+      worse, only for narrowable implementations: an opaque Pallas kernel
+      can't be narrowed, so XLA baselines would be measured on a smaller
+      problem than the candidate).  A NaN-guard on the full-c sum keeps
+      every element of c live at ~one extra VPU reduce of cost."""
     n = c.shape[1]
-    if n >= k:
-        return c[:, :k].astype(in_dtype)
+    if n > k:
+        tail = jnp.sum(c[:, k:].astype(jnp.float32))
+        guard = jnp.where(jnp.isnan(tail), 1.0, 0.0).astype(in_dtype)
+        return c[:, :k].astype(in_dtype) + guard
+    if n == k:
+        return c.astype(in_dtype)
     max_off = k - n
     off = jax.lax.rem(i * n, max_off + 1) if max_off > 0 else 0
     return jax.lax.dynamic_update_slice(a, c.astype(in_dtype), (0, off))
