@@ -123,3 +123,28 @@ def test_eval_one_shape_cli(tmp_path):
     assert (tmp_path / "zero_one_correctness_check_result.json").exists()
     row = json.loads((tmp_path / "speedup_row.json").read_text())
     assert row["mnk"] == "32x128x128"
+
+
+def test_chained_adapter_value_correct_all_branches():
+    """The anti-dedup/anti-narrowing adapters must not change VALUES:
+    guard terms are exactly 0 for finite data, and the dus window writes c
+    where expected."""
+    rng = np.random.default_rng(7)
+    for (m, n, k) in [(16, 256, 128), (16, 128, 128), (16, 128, 512)]:
+        data = bu.fresh_inputs(rng, m, n, k)
+
+        def fn(a, b, b_t):
+            return jnp.matmul(a, b)
+
+        run = bu.make_chained_runner(fn, m, n, k, jnp.bfloat16, reps=1)
+        out = np.asarray(run(*data), np.float32)
+        a, b, _ = data
+        c = np.asarray(jnp.matmul(a, b), np.float32)
+        if n > k:
+            np.testing.assert_array_equal(out, c[:, :k])
+        elif n == k:
+            np.testing.assert_array_equal(out, c)
+        else:  # dus window at offset 0 on the first iteration
+            expect = np.asarray(a, np.float32).copy()
+            expect[:, :n] = c
+            np.testing.assert_array_equal(out, expect)
