@@ -59,24 +59,31 @@ class TuneResult:
 
 
 def _make_fn(cfg: KernelConfig, out_dtype, interpret):
+    """Candidate as a uniform f(a, b, b_t) — the harness ABI (both RHS
+    layouts supplied; the config decides which is consumed)."""
     if cfg.use_xla:
-        def f(a, b):
+        def f(a, b, b_t):
             return jnp.matmul(a, b, preferred_element_type=jnp.float32
                               ).astype(out_dtype)
+    elif cfg.rhs_layout == "nk":
+        from tpul2.ops.matmul import pallas_matmul_tn
+
+        def f(a, b, b_t):
+            return pallas_matmul_tn(a, b_t, cfg, out_dtype=out_dtype,
+                                    interpret=interpret)
     else:
-        def f(a, b):
+        def f(a, b, b_t):
             return pallas_matmul(a, b, cfg, out_dtype=out_dtype,
                                  interpret=interpret)
     return jax.jit(f)
 
 
 def _device_data(rng, m, n, k, in_dtype):
-    """Fresh normal operands generated ON DEVICE (no host transfer)."""
+    """Fresh normal operands (+ transposed layout) generated ON DEVICE."""
     from tpul2.harness.bench_utils import _gen_operands
     seed = int(rng.integers(0, 2**31 - 1))
-    a, b, _ = _gen_operands(jax.random.key(seed), m, n, k,
-                            jnp.dtype(in_dtype).name)
-    return jax.block_until_ready(a), jax.block_until_ready(b)
+    return _gen_operands(jax.random.key(seed), m, n, k,
+                         jnp.dtype(in_dtype).name)
 
 
 class _ShapeTuning:
@@ -126,19 +133,16 @@ class _ShapeTuning:
 
         # Chained in-program timing (see bench_utils docstring: plain fenced
         # or batched calls are not trustworthy on tunneled TPU backends).
-        def wrap(fn):
-            return lambda a, b, b_t: fn(a, b)
-
-        data3 = [(a, b, None) for (a, b) in datasets]
+        data3 = datasets
         xla_fn = next(f for c, f in compiled if c.use_xla)
-        est = bu.estimate_per_call_ms(wrap(xla_fn), data3[0], m, n, k,
+        est = bu.estimate_per_call_ms(xla_fn, data3[0], m, n, k,
                                       in_dtype)
 
         # stage 1: one short chained program per candidate, floor-subtracted
         reps1 = bu.pick_reps(est, target_ms=40.0)
         runners1 = []
         for cfg, fn in compiled:
-            r = bu.make_chained_runner(wrap(fn), m, n, k, in_dtype, reps1)
+            r = bu.make_chained_runner(fn, m, n, k, in_dtype, reps1)
             bu.device_fence(r(*data3[0]))  # warmup/compile
             runners1.append(r)
         floor = bu.fence_floor_ms()
@@ -165,7 +169,7 @@ class _ShapeTuning:
 
         # stage 2: difference-of-reps with medians (floor cancels exactly)
         reps2 = bu.pick_reps(est, target_ms=160.0)
-        timers = [bu.ChainedTimer(wrap(fn), m, n, k, in_dtype, reps2)
+        timers = [bu.ChainedTimer(fn, m, n, k, in_dtype, reps2)
                   for cfg, fn in self.stage2]
         for t in timers:
             t.warmup(data3[0])
@@ -212,6 +216,7 @@ class _ShapeTuning:
             return sa, sb
 
         sa, sb = gen_01(key)
+        sbt = jnp.swapaxes(sb, 0, 1)
         bound = 256.0 if bf16ish else float(1 << 24)
 
         @jax.jit
@@ -237,7 +242,7 @@ class _ShapeTuning:
         best_i = None
         for i in ranked:
             cfg, fn = self.stage2[i]
-            diff = float(jax.device_get(max_masked_diff(fn(sa, sb), truth)))
+            diff = float(jax.device_get(max_masked_diff(fn(sa, sb, sbt), truth)))
             if diff == 0.0:
                 best_i = i
                 break

@@ -62,6 +62,12 @@ class KernelConfig:
     #: Mark the two output grid dims "parallel" (Mosaic may reorder/pipeline
     #: more aggressively) vs "arbitrary".
     parallel_mn: bool = True
+    #: RHS layout consumed by the kernel: 'kn' = row-major B (K, N);
+    #: 'nk' = transposed B (N, K) — the reference's TN data contract
+    #: (every CUDA-L2 kernel receives b_col_major and most consume it,
+    #: kernels/a100_F32F16F16F32/4096_4096_4096.cu:292-309).  The harness
+    #: provides both layouts; dispatch picks per tuned config.
+    rhs_layout: str = "kn"
     #: Optional VMEM cap handed to the Mosaic compiler; None = compiler default.
     vmem_limit_bytes: Optional[int] = None
     #: Sentinel: skip the Pallas kernel, call XLA dot_general.
@@ -131,6 +137,8 @@ class KernelConfig:
             return f"unsupported acc_dtype {self.acc_dtype}"
         if self.grid_order not in ("mn", "nm"):
             return f"bad grid_order {self.grid_order}"
+        if self.rhs_layout not in ("kn", "nk"):
+            return f"bad rhs_layout {self.rhs_layout}"
         in_item = jnp.dtype(in_dtype).itemsize
         if self.bm * self.bk * in_item > A_BLOCK_CAP:
             return (f"a-block {self.bm}x{self.bk} exceeds the "
@@ -220,14 +228,17 @@ def candidate_configs(m: int, n: int, k: int,
                 if bk > round_up(k, LANE) * 2 and bk > LANE:
                     continue
                 for order in ("mn", "nm"):
-                    cfg = KernelConfig(bm=bm, bn=bn, bk=bk,
-                                       acc_dtype=acc_dtype, grid_order=order)
-                    if cfg.validate(in_dtype, budget,
-                                    shape=(m, n, k)) is not None:
-                        continue
-                    if cfg.padding_waste(m, n, k) > 0.6:
-                        continue
-                    out.append(cfg)
+                    for rhs in ("kn", "nk"):
+                        cfg = KernelConfig(bm=bm, bn=bn, bk=bk,
+                                           acc_dtype=acc_dtype,
+                                           grid_order=order,
+                                           rhs_layout=rhs)
+                        if cfg.validate(in_dtype, budget,
+                                        shape=(m, n, k)) is not None:
+                            continue
+                        if cfg.padding_waste(m, n, k) > 0.6:
+                            continue
+                        out.append(cfg)
 
     def prior(c: KernelConfig) -> float:
         # Prefer low padding waste, then larger blocks (fewer grid steps,

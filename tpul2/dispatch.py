@@ -41,12 +41,15 @@ def matmul(a: jax.Array, b: jax.Array, *,
            config: Optional[KernelConfig] = None,
            interpret: Optional[bool] = None,
            bias: Optional[jax.Array] = None,
-           activation: Optional[str] = None) -> jax.Array:
+           activation: Optional[str] = None,
+           b_t: Optional[jax.Array] = None) -> jax.Array:
     """Tuned C = act(A @ B + bias).  a: (M, K), b: (K, N), bias: (N,)|None.
 
     acc: 'float32' (reference F32F16F16F32 family) or 'bfloat16'
     (F16F16F16F16 family).  config overrides the DB/heuristic choice;
-    bias/activation fuse into the kernel epilogue.
+    bias/activation fuse into the kernel epilogue.  b_t: optional
+    pre-transposed (N, K) RHS — consumed for free when the tuned config's
+    rhs_layout is 'nk' (the reference's b_col_major argument).
     """
     m, k = a.shape
     n = b.shape[1]
@@ -60,6 +63,12 @@ def matmul(a: jax.Array, b: jax.Array, *,
         out = ACTIVATIONS[activation](out)
         return out.astype(out_dtype or a.dtype)
     if bias is None and activation is None:
+        if config.rhs_layout == "nk":
+            from tpul2.ops.matmul import pallas_matmul_tn
+            bt = b_t if b_t is not None else jnp.swapaxes(b, 0, 1)
+            return pallas_matmul_tn(a, bt, config=config,
+                                    out_dtype=out_dtype,
+                                    interpret=interpret)
         return pallas_matmul(a, b, config=config, out_dtype=out_dtype,
                              interpret=interpret)
     from tpul2.ops.matmul import pallas_matmul_fused
@@ -96,14 +105,15 @@ def cuda_l2_tpu_f32(a, b, b_t):
     Jitted end-to-end: config resolution happens once per shape at trace
     time (the analogue of the reference's build-time source selection), so
     the steady-state call is a single compiled dispatch like the baselines.
-    """
-    return matmul(a, b, acc="float32")
+    Both RHS layouts arrive (the reference passes b AND b_col_major); the
+    tuned config decides which one the kernel consumes."""
+    return matmul(a, b, acc="float32", b_t=b_t)
 
 
 @jax.jit
 def cuda_l2_tpu_bf16(a, b, b_t):
     """Candidate entry, bf16-accumulator family (harness ABI: (a, b, b_t))."""
-    return matmul(a, b, acc="bfloat16")
+    return matmul(a, b, acc="bfloat16", b_t=b_t)
 
 
 def candidate_fn(acc: str = "float32"):

@@ -54,8 +54,20 @@ def _apply_epilogue(acc_f32, bias_ref, activation):
     return ACTIVATIONS[activation](acc_f32)
 
 
+_TN_DIMS = (((1,), (1,)), ((), ()))  # a:(bm,bk) x b_t:(bn,bk) -> (bm,bn)
+
+
+def _block_dot(a_blk, b_blk, rhs_nk: bool):
+    """MXU block product; rhs_nk consumes the transposed-B layout (the
+    reference's TN contract — kernels take b_col_major)."""
+    if rhs_nk:
+        return jax.lax.dot_general(a_blk, b_blk, _TN_DIMS,
+                                   preferred_element_type=jnp.float32)
+    return jnp.dot(a_blk, b_blk, preferred_element_type=jnp.float32)
+
+
 def _kernel_multi_k(a_ref, b_ref, *rest, acc_dtype, out_dtype, has_bias,
-                    activation):
+                    activation, rhs_nk=False):
     """Grid step with K-accumulation carry (grid_k > 1)."""
     if has_bias:
         bias_ref, o_ref, acc_ref = rest
@@ -67,8 +79,8 @@ def _kernel_multi_k(a_ref, b_ref, *rest, acc_dtype, out_dtype, has_bias,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # MXU: one (bm, bk) x (bk, bn) block product, f32 MACs.
-    part = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+    # MXU: one block product, f32 MACs.
+    part = _block_dot(a_ref[:], b_ref[:], rhs_nk)
     acc_ref[:] = (acc_ref[:].astype(jnp.float32) + part).astype(acc_dtype)
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -77,7 +89,8 @@ def _kernel_multi_k(a_ref, b_ref, *rest, acc_dtype, out_dtype, has_bias,
         o_ref[:] = _apply_epilogue(acc, bias_ref, activation).astype(out_dtype)
 
 
-def _kernel_single_k(a_ref, b_ref, *rest, out_dtype, has_bias, activation):
+def _kernel_single_k(a_ref, b_ref, *rest, out_dtype, has_bias, activation,
+                     rhs_nk=False):
     """Grid step when the whole K dimension fits one block: no carry, no
     scratch — the analogue of the reference's hand-rolled small-shape WMMA
     kernels (SURVEY.md C9, e.g. kernels/h100_F32F16F16F32/64_64_64.cu)."""
@@ -85,7 +98,7 @@ def _kernel_single_k(a_ref, b_ref, *rest, out_dtype, has_bias, activation):
         bias_ref, o_ref = rest
     else:
         (o_ref,), bias_ref = rest, None
-    acc = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+    acc = _block_dot(a_ref[:], b_ref[:], rhs_nk)
     o_ref[:] = _apply_epilogue(acc, bias_ref, activation).astype(out_dtype)
 
 
@@ -100,16 +113,19 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
     mn_parallel = "parallel" if cfg.parallel_mn else "arbitrary"
     dim_sem = (mn_parallel, mn_parallel, "arbitrary")
 
+    rhs_nk = cfg.rhs_layout == "nk"
     if cfg.grid_order == "mn":
         grid = (gm, gn, gk)
         a_map = lambda i, j, k: (i, k)  # noqa: E731
-        b_map = lambda i, j, k: (k, j)  # noqa: E731
+        b_map = (lambda i, j, k: (j, k)) if rhs_nk else \
+            (lambda i, j, k: (k, j))  # noqa: E731
         o_map = lambda i, j, k: (i, j)  # noqa: E731
         bias_map = lambda i, j, k: (0, j)  # noqa: E731
     else:
         grid = (gn, gm, gk)
         a_map = lambda j, i, k: (i, k)  # noqa: E731
-        b_map = lambda j, i, k: (k, j)  # noqa: E731
+        b_map = (lambda j, i, k: (j, k)) if rhs_nk else \
+            (lambda j, i, k: (k, j))  # noqa: E731
         o_map = lambda j, i, k: (i, j)  # noqa: E731
         bias_map = lambda j, i, k: (0, j)  # noqa: E731
 
@@ -127,7 +143,7 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
 
     in_specs = [
         pl.BlockSpec((bm, bk), a_map),
-        pl.BlockSpec((bk, bn), b_map),
+        pl.BlockSpec((bn, bk) if rhs_nk else (bk, bn), b_map),
     ]
     if has_bias:
         in_specs.append(pl.BlockSpec((1, bn), bias_map))
@@ -135,12 +151,12 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
     if gk == 1:
         kernel = functools.partial(
             _kernel_single_k, out_dtype=out_dtype, has_bias=has_bias,
-            activation=activation)
+            activation=activation, rhs_nk=rhs_nk)
         scratch = []
     else:
         kernel = functools.partial(
             _kernel_multi_k, acc_dtype=acc_dtype, out_dtype=out_dtype,
-            has_bias=has_bias, activation=activation)
+            has_bias=has_bias, activation=activation, rhs_nk=rhs_nk)
         scratch = [pltpu.VMEM((bm, bn), acc_dtype)]
 
     return pl.pallas_call(
@@ -157,17 +173,31 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
 
 
 def _forward_padded(a, b, cfg: KernelConfig, out_dtype, interpret: bool,
-                    bias=None, activation=None):
-    a_p, b_p, (m, n) = pad_operands(a, b, cfg.bm, cfg.bn, cfg.bk)
-    mp, kp = a_p.shape
-    _, np_ = b_p.shape
+                    bias=None, activation=None, b_t=None):
+    """b is (K, N) row-major; for rhs_layout='nk' the kernel consumes the
+    transposed (N, K) operand — taken from ``b_t`` when the caller already
+    has it materialized (the harness ABI always does, mirroring the
+    reference's b_col_major argument) or derived here otherwise."""
+    from tpul2.utils.padding import pad_to, round_up
+    if cfg.rhs_layout == "nk":
+        bt = b_t if b_t is not None else jnp.swapaxes(b, 0, 1)
+        m, k = a.shape
+        n = bt.shape[0]
+        mp, np_, kp = (round_up(m, cfg.bm), round_up(n, cfg.bn),
+                       round_up(k, cfg.bk))
+        a_p = pad_to(a, mp, kp)
+        rhs_p = pad_to(bt, np_, kp)
+    else:
+        a_p, rhs_p, (m, n) = pad_operands(a, b, cfg.bm, cfg.bn, cfg.bk)
+        mp, kp = a_p.shape
+        _, np_ = rhs_p.shape
     call = _build_call(mp, np_, kp, cfg, a.dtype, jnp.dtype(out_dtype),
                        interpret, has_bias=bias is not None,
                        activation=activation)
     if bias is not None:
         bias_p = jnp.pad(bias.reshape(1, -1), ((0, 0), (0, np_ - n)))
-        return call(a_p, b_p, bias_p), (m, n)
-    return call(a_p, b_p), (m, n)
+        return call(a_p, rhs_p, bias_p), (m, n)
+    return call(a_p, rhs_p), (m, n)
 
 
 def _forward(a, b, cfg: KernelConfig, out_dtype, interpret: bool,
@@ -279,6 +309,60 @@ def _matmul_bwd(cfg, out_dtype_name, interpret, res, g):
 
 
 _matmul_vjp.defvjp(_matmul_fwd, _matmul_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _matmul_tn_vjp(a, bt, cfg, out_dtype_name, interpret):
+    return _forward_tn(a, bt, cfg, jnp.dtype(out_dtype_name), interpret)
+
+
+def _forward_tn(a, bt, cfg, out_dtype, interpret):
+    """C = A @ BTᵀ with the kernel consuming bt (N, K) directly."""
+    out, (m, n) = _forward_padded(a, None, cfg, out_dtype, interpret,
+                                  b_t=bt)
+    if out.shape != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def _matmul_tn_fwd(a, bt, cfg, out_dtype_name, interpret):
+    return _matmul_tn_vjp(a, bt, cfg, out_dtype_name, interpret), (a, bt)
+
+
+def _matmul_tn_bwd(cfg, out_dtype_name, interpret, res, g):
+    a, bt = res
+    gf = g.astype(jnp.float32)
+    da = jnp.matmul(gf, bt.astype(jnp.float32)).astype(a.dtype)
+    dbt = jnp.matmul(gf.T, a.astype(jnp.float32)).astype(bt.dtype)
+    return da, dbt
+
+
+_matmul_tn_vjp.defvjp(_matmul_tn_fwd, _matmul_tn_bwd)
+
+
+def pallas_matmul_tn(a: jax.Array, b_t: jax.Array,
+                     config: Optional[KernelConfig] = None,
+                     out_dtype=None,
+                     interpret: Optional[bool] = None) -> jax.Array:
+    """C = A @ B where the RHS is supplied pre-transposed as b_t (N, K).
+
+    The TN entry of the reference ABI: every harness call materializes both
+    B layouts; a tuned config with rhs_layout='nk' consumes this one with
+    zero transpose cost.  Differentiable (cotangent returned for b_t)."""
+    cfg = config or KernelConfig(rhs_layout="nk")
+    if cfg.rhs_layout != "nk":
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, rhs_layout="nk")
+    if out_dtype is None:
+        out_dtype = a.dtype
+    if interpret is None:
+        interpret = default_interpret()
+    err = cfg.validate(a.dtype,
+                       shape=(a.shape[0], b_t.shape[0], a.shape[1]))
+    if err:
+        raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
+    return _matmul_tn_vjp(a, b_t, cfg, jnp.dtype(out_dtype).name,
+                          bool(interpret))
 
 
 def pallas_matmul(a: jax.Array, b: jax.Array,
