@@ -66,12 +66,15 @@ def main() -> int:
     tuned = any(db.get(m, n, k) for (m, n, k) in shapes)
     # tune_many re-times stored winners and the XLA sentinel with the same
     # methodology; all shapes are timed before any device→host transfer.
+    # save=False: the round benchmark MEASURES — its low-fidelity re-times
+    # must never overwrite campaign-quality DB entries (VERDICT r1 / ADVICE).
     results = tune_many(
         shapes,
         stage1_rounds=2 if tuned else 3,
         stage2_rounds=max(4, int(seconds * 2)),
         max_candidates=8 if tuned else 24,
         finalists=3,
+        save=False,
         verbose=False,
     )
 
@@ -89,7 +92,6 @@ def main() -> int:
               file=sys.stderr)
 
     geomean = float(np.exp(np.mean(np.log(speedups))))
-    db.save()
     print(json.dumps({
         "metric": "geomean_speedup_vs_xla_dot",
         "value": round(geomean, 4),

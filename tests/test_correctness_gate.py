@@ -10,6 +10,7 @@ from tpul2.harness.correctness import (
     EXACT_BOUND,
     canary_check,
     compare_with_cpu_f32,
+    gate_kernel_variants,
     run_correctness_check,
     zero_one_density,
 )
@@ -72,6 +73,77 @@ def test_canary_pass_on_padded_shape():
     res = canary_check(100, 200, 300, config=cfg)
     assert res["pass"], res
     assert res["padded_shape"] == [128, 256]
+
+
+def test_gate_variants_pass():
+    cfg = KernelConfig(bm=32, bn=128, bk=128)
+    res = gate_kernel_variants(32, 128, 256, config=cfg)
+    assert res["pass"], res
+    assert res["plain_nn"] and res["tn"] and res["fused_bias_relu"] \
+        and res["batched"]
+
+
+def test_gate_variants_catch_mistiled_kernel(monkeypatch):
+    """A deliberately mis-tiled output index map (writes every M-block to
+    row-block 0) must be caught by the variant gate in all four kernel
+    entry points (VERDICT r1 next-round #6 'done when')."""
+    import tpul2.ops.matmul as mm
+
+    real_build = mm._build_call
+
+    def evil_build(mp, np_, kp, cfg, in_dtype, out_dtype, interpret,
+                   has_bias=False, activation=None):
+        import dataclasses
+        # Halve bm so the output has >1 row-block, then sabotage the o_map
+        # by shrinking the problem's M the kernel sees: emulate mis-tiling
+        # by running the real kernel on HALF the rows and leaving the rest
+        # of the output unwritten (stale/garbage analogue = zeros here,
+        # which differs from truth on valid rows).
+        half_cfg = dataclasses.replace(cfg, bm=max(cfg.bm // 2, 8))
+        call = real_build(mp, np_, kp, half_cfg, in_dtype, out_dtype,
+                          interpret, has_bias=has_bias,
+                          activation=activation)
+
+        def wrong(*args):
+            out = call(*args)
+            # mis-tiled write: row-blocks land on block 0 (later blocks win)
+            return out.at[:out.shape[0] // 2, :].set(
+                out[out.shape[0] // 2:, :])
+
+        return wrong
+
+    monkeypatch.setattr(mm, "_build_call", evil_build)
+    cfg = KernelConfig(bm=32, bn=128, bk=128)
+    res = gate_kernel_variants(64, 128, 256, config=cfg)
+    assert not res["pass"]
+    # every variant that routes through _build_call must individually fail
+    assert not res["plain_nn"]
+    assert not res["tn"]
+    assert not res["fused_bias_relu"]
+
+
+def test_per_iteration_canary_counted(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    from tpul2.autotune.db import reset_default_db
+    reset_default_db()
+    stats = compare_with_cpu_f32(100, 200, 300, iterations=2, time_cap_s=30)
+    assert stats["canary_iterations"] == stats["iterations"] > 0
+    assert stats["canary_hits"] == 0
+    reset_default_db()
+
+
+def test_pad_regions_are_exact_zero():
+    """Pad poisoning defense: the kernel consumes its pads arithmetically
+    (0*0 contributions), so the safety invariant is that caller-side padding
+    writes EXACT zeros — any nonzero there would corrupt valid output."""
+    from tpul2.utils.padding import pad_to
+
+    x = jnp.full((100, 300), 7.0, jnp.bfloat16)
+    p = pad_to(x, 128, 384)
+    arr = np.asarray(p, np.float32)
+    assert np.all(arr[100:, :] == 0.0)
+    assert np.all(arr[:, 300:] == 0.0)
+    assert np.all(arr[:100, :300] == 7.0)
 
 
 def test_canary_detects_oob_style_corruption(monkeypatch):

@@ -45,9 +45,8 @@ def benchmark_server(m: int, n: int, k: int,
     if target_qps <= 0:
         raise ValueError("--target_qps must be > 0 in server mode "
                          "(reference benchmarking_server.py:30)")
-    if perf_func.startswith("xla_autotuned"):
-        find_best_xla_variant(m, n, k, in_dtype, perf_func.rsplit("_", 1)[1])
-
+    # NOTE: autotuned baselines are pre-tuned inside _run_mode
+    # (bench_offline.py) — no pre-tune needed here.
     result = benchmark_server_all(
         m, n, k, perf_funcs=[perf_func], target_qps=target_qps, acc=acc,
         in_dtype=in_dtype, warmup_seconds=warmup_seconds,
