@@ -38,11 +38,15 @@ CSV_COLUMNS = ["mnk", "jnp.matmul",
                "XLA-AutoTuned-tn", "XLA-AutoTuned-nn", "XLA-AutoTuned-max"]
 
 
-def grid(dims, max_shapes=None, max_elems=None):
+def grid(dims, max_shapes=None, max_elems=None, order="lex"):
     shapes = [s for s in itertools.product(dims, dims, dims)]
     if max_elems:
         shapes = [s for s in shapes
                   if max(s[0] * s[2], s[2] * s[1], s[0] * s[1]) <= max_elems]
+    if order == "cost":
+        # cheap shapes first: maximizes completed CSV rows per wall-hour
+        # (compile+measure cost scales with the problem size)
+        shapes.sort(key=lambda s: (s[0] * s[1] * s[2], s))
     if max_shapes:
         shapes = shapes[:max_shapes]
     return shapes
@@ -80,56 +84,116 @@ def _load_done(path: Path) -> set:
         return {row["mnk"] for row in csv.DictReader(f)}
 
 
-def cmd_eval(args) -> int:
-    from tpul2.harness.bench_offline import benchmark_offline_all
-    from tpul2.harness.bench_server import benchmark_server_all
-    from tpul2.harness.summarize import DISPLAY_NAMES, _MAX_FAMILIES
+#: lean-eval speedup key -> CSV column
+_LEAN_COLS = {
+    "xla_matmul": "jnp.matmul",
+    "xla_dot_tn": "XLA-dot-tn",
+    "xla_dot_nn": "XLA-dot-nn",
+    "xla_highest_tn": "XLA-highest-tn",
+    "xla_highest_nn": "XLA-highest-nn",
+    "xla_autotuned_tn": "XLA-AutoTuned-tn",
+    "xla_autotuned_nn": "XLA-AutoTuned-nn",
+}
+_MAX_PAIRS = [("XLA-dot", "XLA-dot-tn", "XLA-dot-nn"),
+              ("XLA-highest", "XLA-highest-tn", "XLA-highest-nn"),
+              ("XLA-AutoTuned", "XLA-AutoTuned-tn", "XLA-AutoTuned-nn")]
 
-    out = Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    done = _load_done(out)
-    shapes = [s for s in grid(args.dims, args.max_shapes, args.max_elems)
-              if f"{s[0]}x{s[1]}x{s[2]}" not in done]
-    print(f"evaluating {len(shapes)} shapes ({len(done)} already in CSV)",
+
+def _row_from_lean(mnk: str, sp: dict) -> dict:
+    row = {"mnk": mnk}
+    for key, col in _LEAN_COLS.items():
+        row[col] = round(sp[key], 4)
+    for fam, tn, nn in _MAX_PAIRS:
+        row[f"{fam}-max"] = round(min(row[tn], row[nn]), 4)
+    return row
+
+
+def cmd_eval(args) -> int:
+    """Lean offline evaluation over the grid — one process per chunk,
+    resumable CSV per accumulator family, JSONL detail sidecar with
+    per-func medians and IQRs (the variance record VERDICT r1 #3 asks
+    for).  Server-mode campaigns use cmd_eval_server below."""
+    import json
+
+    from tpul2.autotune.db import default_db
+    from tpul2.autotune.search import tune_shape
+    from tpul2.dispatch import refresh_candidates
+    from tpul2.harness.bench_suite import eval_shape_lean
+    from tpul2.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    accs = args.accs
+    outs = {acc: Path(args.out.format(acc=acc)) for acc in accs}
+    for p in outs.values():
+        p.parent.mkdir(parents=True, exist_ok=True)
+    detail = Path(args.detail or
+                  str(next(iter(outs.values()))).replace(".csv",
+                                                         "_detail.jsonl"))
+    done_sets = {acc: _load_done(p) for acc, p in outs.items()}
+    shapes = [s for s in grid(args.dims, args.max_shapes, args.max_elems,
+                              order=args.order)
+              if any(f"{s[0]}x{s[1]}x{s[2]}" not in done_sets[acc]
+                     for acc in accs)]
+    if args.chunk_shapes:
+        shapes = shapes[:args.chunk_shapes]
+    print(f"evaluating {len(shapes)} shapes "
+          f"({ {a: len(d) for a, d in done_sets.items()} } already done)",
           file=sys.stderr)
 
-    write_header = not out.exists()
-    with out.open("a", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+    db = default_db()
+    files, writers = {}, {}
+    for acc, p in outs.items():
+        write_header = not p.exists()
+        files[acc] = p.open("a", newline="")
+        writers[acc] = csv.DictWriter(files[acc], fieldnames=CSV_COLUMNS)
         if write_header:
-            writer.writeheader()
+            writers[acc].writeheader()
+    try:
         for (m, n, k) in shapes:
+            mnk = f"{m}x{n}x{k}"
+            # mini-tune fallback for shapes the tune campaign hasn't reached
+            if args.mini_tune:
+                tuned_any = False
+                for acc in accs:
+                    if db.get(m, n, k, acc) is None:
+                        try:
+                            tune_shape(m, n, k, acc=acc, db=db,
+                                       max_candidates=args.mini_tune_cands,
+                                       stage1_rounds=2, stage2_rounds=5,
+                                       finalists=3)
+                            tuned_any = True
+                        except Exception as e:
+                            print(f"{mnk}/{acc}: mini-tune failed "
+                                  f"({type(e).__name__}: {str(e)[:120]})",
+                                  file=sys.stderr)
+                if tuned_any:
+                    refresh_candidates()
             try:
-                if args.mode == "server":
-                    results = benchmark_server_all(
-                        m, n, k, target_qps=args.target_qps, acc=args.acc,
-                        warmup_seconds=args.warmup_seconds,
-                        benchmark_seconds=args.benchmark_seconds)
-                else:
-                    results = benchmark_offline_all(
-                        m, n, k, acc=args.acc,
-                        warmup_seconds=args.warmup_seconds,
-                        benchmark_seconds=args.benchmark_seconds)
+                # giants get fewer trials: their per-trial runtime is long
+                # and their rows are less noise-prone (compute-bound)
+                trials = (max(2, args.trials - 1)
+                          if m * n * k >= (8192 ** 3) else args.trials)
+                res = eval_shape_lean(m, n, k, accs=accs,
+                                      trials=trials,
+                                      target_ms=args.target_ms)
             except Exception as e:
-                print(f"{m}x{n}x{k}: FAILED {e}", file=sys.stderr)
+                print(f"{mnk}: FAILED {type(e).__name__}: {e}",
+                      file=sys.stderr)
                 return 1
-            row = {"mnk": f"{m}x{n}x{k}"}
-            by_disp = {DISPLAY_NAMES.get(fn, fn): r["speedup"]
-                       for fn, r in results.items()}
-            for fam in _MAX_FAMILIES:
-                tn = by_disp.get(DISPLAY_NAMES[f"{fam}_tn"])
-                nn = by_disp.get(DISPLAY_NAMES[f"{fam}_nn"])
-                if tn is not None and nn is not None:
-                    fam_disp = DISPLAY_NAMES[f"{fam}_tn"].rsplit("-", 1)[0]
-                    by_disp[f"{fam_disp}-max"] = min(tn, nn)
-            for col in CSV_COLUMNS[1:]:
-                if col in by_disp:
-                    row[col] = round(by_disp[col], 4)
-            writer.writerow(row)
-            f.flush()
-            print(f"{row['mnk']}: " + " ".join(
-                f"{c}={row.get(c, '-')}" for c in CSV_COLUMNS[1:2]),
-                file=sys.stderr)
+            for acc in accs:
+                if mnk in done_sets[acc]:
+                    continue
+                writers[acc].writerow(_row_from_lean(mnk, res["speedups"][acc]))
+                files[acc].flush()
+            with detail.open("a") as df:
+                df.write(json.dumps(res) + "\n")
+            sp = res["speedups"][accs[0]]
+            print(f"{mnk}: matmul={sp['xla_matmul']:.3f} "
+                  f"AT-max={min(sp['xla_autotuned_tn'], sp['xla_autotuned_nn']):.3f} "
+                  f"({res['elapsed_s']:.1f}s)", file=sys.stderr)
+    finally:
+        for f in files.values():
+            f.close()
     return 0
 
 
@@ -157,12 +221,23 @@ def main(argv=None) -> int:
     t.set_defaults(fn=cmd_tune)
 
     e = sub.add_parser("eval", parents=[common])
-    e.add_argument("--mode", choices=["offline", "server"],
-                   default="offline")
-    e.add_argument("--target_qps", type=float, default=10.0)
-    e.add_argument("--warmup_seconds", type=float, default=0.5)
-    e.add_argument("--benchmark_seconds", type=float, default=2.0)
-    e.add_argument("--out", type=str, required=True)
+    e.add_argument("--accs", nargs="+", default=["float32"],
+                   choices=["float32", "bfloat16"],
+                   help="accumulator families evaluated in one pass "
+                        "(baseline measurements are shared)")
+    e.add_argument("--out", type=str, required=True,
+                   help="CSV path; may contain {acc}")
+    e.add_argument("--detail", type=str, default=None,
+                   help="JSONL sidecar with per-func medians + IQRs")
+    e.add_argument("--trials", type=int, default=3)
+    e.add_argument("--target_ms", type=float, default=150.0)
+    e.add_argument("--chunk_shapes", type=int, default=None,
+                   help="process at most this many shapes then exit "
+                        "(the driver loops; keeps jit caches bounded)")
+    e.add_argument("--mini_tune", action="store_true", default=True)
+    e.add_argument("--no_mini_tune", dest="mini_tune", action="store_false")
+    e.add_argument("--mini_tune_cands", type=int, default=6)
+    e.add_argument("--order", choices=["lex", "cost"], default="cost")
     e.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)

@@ -68,7 +68,31 @@ def test_heuristic_always_valid():
     for (m, n, k) in shapes:
         for acc in ("float32", "bfloat16"):
             cfg = heuristic_config(m, n, k, acc)
-            assert cfg.validate(jnp.bfloat16) is None, (m, n, k, acc)
+            assert cfg.validate(jnp.bfloat16,
+                                shape=(m, n, k)) is None, (m, n, k, acc)
+
+
+def test_full_dim_blocks_valid_only_with_shape():
+    # Sub-lane full-dim blocks are valid exactly when they cover the dim.
+    cfg = KernelConfig(bm=128, bn=64, bk=64)
+    assert cfg.validate(jnp.bfloat16) is not None
+    assert cfg.validate(jnp.bfloat16, shape=(128, 64, 64)) is None
+    assert cfg.validate(jnp.bfloat16, shape=(128, 256, 64)) is not None
+
+
+def test_raised_vmem_limit_unlocks_budget():
+    # 16 MiB footprint: rejected in the default regime, valid with a limit
+    # (probed bit-exact on v5e, round-2 session 1).
+    big = KernelConfig(bm=1024, bn=1024, bk=1024)
+    shape = (2048, 2048, 2048)
+    assert "vmem" in (big.validate(jnp.bfloat16, shape=shape) or "")
+    import dataclasses
+    lifted = dataclasses.replace(big, vmem_limit_bytes=32 << 20)
+    assert lifted.validate(jnp.bfloat16, shape=shape) is None
+    # ...and the A-block cap lifts with it
+    ablock = KernelConfig(bm=1024, bn=512, bk=4096,
+                          vmem_limit_bytes=100 << 20)
+    assert ablock.validate(jnp.bfloat16, shape=(1024, 512, 4096)) is None
 
 
 def test_candidates_valid_and_include_xla():
@@ -76,7 +100,21 @@ def test_candidates_valid_and_include_xla():
     assert len(cands) > 4
     assert cands[-1].use_xla
     for c in cands[:-1]:
-        assert c.validate(jnp.bfloat16, DEFAULT_VMEM_BUDGET) is None
+        assert c.validate(jnp.bfloat16, DEFAULT_VMEM_BUDGET,
+                          shape=(4096, 4096, 4096)) is None
+
+
+def test_candidates_subLane_dims_padding_free():
+    # 27% of the reference grid has a 64-dim; full-dim blocks avoid the
+    # HBM padding copy entirely.
+    cands = candidate_configs(512, 512, 64)
+    real = [c for c in cands if not c.use_xla]
+    assert any(c.bk == 64 for c in real)
+    cands2 = candidate_configs(64, 64, 4096)
+    real2 = [c for c in cands2 if not c.use_xla]
+    assert any(c.bn == 64 for c in real2)
+    # whole-K-resident candidates exist for the skinny band
+    assert any(c.bk == 4096 for c in real2)
 
 
 def test_candidates_skinny_shape_low_waste():
@@ -84,7 +122,9 @@ def test_candidates_skinny_shape_low_waste():
     cands = candidate_configs(8, 4096, 4096)
     real = [c for c in cands if not c.use_xla]
     assert all(c.padding_waste(8, 4096, 4096) <= 0.6 for c in real)
-    assert any(c.bm == 16 for c in real)
+    # round 2: the full-dim block bm=8 is padding-free (round 1's best was
+    # the sublane-padded bm=16)
+    assert any(c.bm <= 16 for c in real)
 
 
 def test_grid_for_order():

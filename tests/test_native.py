@@ -55,6 +55,43 @@ def test_heuristic_lockstep_with_python():
             assert cc.acc_dtype == py.acc_dtype
 
 
+def test_heuristic_lockstep_dense_grid():
+    """Dense lockstep sweep (VERDICT r1 next-round #8: a deliberate change
+    to one side must fail a test): covers the shrink loop (big bn x bm
+    accumulators), sub-lane full-dim dims, and both acc families."""
+    dims = [1, 8, 12, 64, 100, 128, 300, 512, 2048, 4096, 16384]
+    for m in dims:
+        for n in dims:
+            for k in dims:
+                for acc in ("float32", "bfloat16"):
+                    py = heuristic_config(m, n, k, acc)
+                    cc = native_heuristic(m, n, k, acc, sublane=16)
+                    assert (cc.bm, cc.bn, cc.bk, cc.acc_dtype) == \
+                        (py.bm, py.bn, py.bk, py.acc_dtype), \
+                        (m, n, k, acc, py, cc)
+
+
+def test_v2_fields_roundtrip():
+    """rhs_layout and vmem_limit_bytes survive the native cache (ADVICE r1
+    #2: round-1 sidecars silently turned 'nk' into 'kn')."""
+    nc = NativeTuneCache()
+    cfg = KernelConfig(bm=64, bn=4096, bk=512, rhs_layout="nk",
+                       vmem_limit_bytes=64 << 20, grid_order="nm",
+                       parallel_mn=False)
+    nc.put(64, 4096, 512, cfg)
+    assert nc.get(64, 4096, 512) == cfg
+
+
+def test_v1_sidecar_rejected(tmp_path):
+    """A stale v1 binary sidecar must be refused, not silently misparsed."""
+    import struct
+
+    p = tmp_path / "old.bin"
+    p.write_bytes(struct.pack("<III", 0x54503255, 1, 0))
+    with pytest.raises(IOError):
+        NativeTuneCache().load(p)
+
+
 def test_db_binary_sidecar(tmp_path):
     from tpul2.autotune.db import TuneDB
 

@@ -15,60 +15,95 @@ def test_grid_caps():
     assert (64, 64, 64) in shapes
 
 
-def _fake_results(m, n, k, speedups):
-    out = {}
-    for fn, s in speedups.items():
-        out[fn] = {"speedup": s, "mnk": [m, n, k]}
-    return out
+def _fake_lean(m, n, k, accs=("float32",), **kw):
+    sp = {
+        "xla_matmul": 1.2,
+        "xla_dot_nn": 1.3, "xla_dot_tn": 1.1,
+        "xla_highest_nn": 1.4, "xla_highest_tn": 1.5,
+        "xla_autotuned_nn": 1.05, "xla_autotuned_tn": 1.15,
+        "xla_sameacc_nn": 1.06, "xla_sameacc_tn": 1.16,
+    }
+    return {
+        "mnk": [m, n, k],
+        "speedups": {acc: dict(sp) for acc in accs},
+        "per_func": {},
+        "reps": 8,
+        "trials": 1,
+        "elapsed_s": 0.0,
+    }
 
 
 def test_eval_csv_written(tmp_path, monkeypatch):
     calls = []
 
-    def fake_all(m, n, k, **kw):
+    def fake_lean(m, n, k, **kw):
         calls.append((m, n, k))
-        return _fake_results(m, n, k, {
-            "xla_matmul": 1.2,
-            "xla_dot_nn": 1.3, "xla_dot_tn": 1.1,
-            "xla_highest_nn": 1.4, "xla_highest_tn": 1.5,
-            "xla_autotuned_nn": 1.05, "xla_autotuned_tn": 1.15,
-        })
+        return _fake_lean(m, n, k, **kw)
 
-    import tpul2.harness.bench_offline as bo
-    monkeypatch.setattr(bo, "benchmark_offline_all", fake_all)
+    import tpul2.harness.bench_suite as bs
+    monkeypatch.setattr(bs, "eval_shape_lean", fake_lean)
 
-    out = tmp_path / "suite.csv"
+    out = tmp_path / "suite_{acc}.csv"
     rc = rs.main(["eval", "--dims", "64", "128", "--max_shapes", "4",
+                  "--accs", "float32", "bfloat16", "--no_mini_tune",
                   "--out", str(out)])
     assert rc == 0
-    with out.open() as f:
-        rows = list(csv.DictReader(f))
-    assert len(rows) == 4
-    r = rows[0]
-    assert r["jnp.matmul"] == "1.2"
-    # -max rows take the candidate-worst layout (C7 parity)
-    assert r["XLA-dot-max"] == "1.1"
-    assert r["XLA-highest-max"] == "1.4"
-    assert r["XLA-AutoTuned-max"] == "1.05"
+    for acc in ("float32", "bfloat16"):
+        with (tmp_path / f"suite_{acc}.csv").open() as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 4
+        r = rows[0]
+        assert r["jnp.matmul"] == "1.2"
+        # -max rows take the candidate-worst layout (C7 parity)
+        assert r["XLA-dot-max"] == "1.1"
+        assert r["XLA-highest-max"] == "1.4"
+        assert r["XLA-AutoTuned-max"] == "1.05"
+    # variance sidecar written
+    assert (tmp_path / "suite_float32_detail.jsonl").exists()
 
     # resume: second run skips all existing rows
     calls.clear()
     rc = rs.main(["eval", "--dims", "64", "128", "--max_shapes", "4",
+                  "--accs", "float32", "bfloat16", "--no_mini_tune",
                   "--out", str(out)])
     assert rc == 0
     assert calls == []
 
 
 def test_eval_failure_fails_fast(tmp_path, monkeypatch):
-    import tpul2.harness.bench_offline as bo
+    import tpul2.harness.bench_suite as bs
 
     def boom(*a, **kw):
         raise RuntimeError("kaput")
 
-    monkeypatch.setattr(bo, "benchmark_offline_all", boom)
+    monkeypatch.setattr(bs, "eval_shape_lean", boom)
     rc = rs.main(["eval", "--dims", "64", "--max_shapes", "1",
-                  "--out", str(tmp_path / "x.csv")])
+                  "--no_mini_tune", "--out", str(tmp_path / "x.csv")])
     assert rc == 1
+
+
+def test_reverify_db_records_and_demotes(tmp_path, monkeypatch, capsys):
+    """reverify_db re-times stored wins and demotes non-reproducing ones
+    (VERDICT r1 next-round #7)."""
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    from tpul2.autotune.db import reset_default_db, default_db
+    from tpul2.config import KernelConfig
+    import scripts.reverify_db as rv
+
+    reset_default_db()
+    db = default_db()
+    db.put(64, 128, 128, KernelConfig(bm=64, bn=128, bk=128), tflops=1.0,
+           extra={"speedup_vs_xla": 99.0})  # absurd stored claim
+    db.save()
+    rc = rv.main(["--trials", "1", "--target_ms", "2",
+                  "--demote_below", "98.0"])  # force demotion
+    assert rc == 0
+    reset_default_db()
+    entry = default_db().get_entry(64, 128, 128)
+    assert "reverified_speedup" in entry
+    assert entry["config"]["use_xla"]  # demoted to sentinel
+    assert entry["demoted_from"]["bm"] == 64
+    reset_default_db()
 
 
 def test_aggregate_results(tmp_path, capsys):

@@ -1,0 +1,113 @@
+"""Suite-scale (lean) per-shape evaluation — the 1,000-shape campaign engine.
+
+The reference's published product is per-shape speedup CSVs over the full
+{64..16384}^3 grid (SURVEY.md C14, eval_results/*.csv, ~1,000 rows per
+device x precision).  Reproducing that coverage on a tunneled TPU backend is
+compile-bound: the faithful per-baseline methodology (bench_offline._run_mode)
+costs ~25 fresh XLA compiles per shape.  This module is the amortized path:
+
+  - ONE probe compile sizes the rep count for every function of the shape;
+  - each function gets ONE LeanTimer program (floor-subtracted, physical-
+    minimum clamped) instead of ChainedTimer's two;
+  - the XLA-AutoTuned-{nn,tn} baselines are DERIVED as the per-shape best
+    of each layout's measured variant set (= the winner the explicit
+    pre-tune in find_best_xla_variant would select, without re-timing it);
+  - both accumulator families share one set of baseline measurements
+    (the baselines don't depend on the candidate's accumulator).
+
+Per-row variance (IQR over shuffled trials) is recorded alongside every
+median so downstream CSVs can carry an honesty column (VERDICT r1 #3).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpul2.dispatch import candidate_fn
+from tpul2.harness import bench_utils as bu
+from tpul2.ops.baselines import AUTOTUNED_VARIANT_SETS, LEAN_EVAL_FUNCS
+
+
+def _iqr(xs) -> float:
+    arr = np.asarray(xs, np.float64)
+    return float(np.percentile(arr, 75) - np.percentile(arr, 25))
+
+
+def eval_shape_lean(m: int, n: int, k: int,
+                    accs: Sequence[str] = ("float32",),
+                    in_dtype=jnp.bfloat16,
+                    trials: int = 3,
+                    target_ms: float = 150.0,
+                    seed: int = 0,
+                    probe_reps: int = 32,
+                    extra_funcs: Optional[dict] = None) -> dict:
+    """Measure candidate(s) + all lean baselines for one shape.
+
+    Returns {"per_func": {name: {"ms", "iqr_ms", "tflops"}},
+             "speedups": {acc: {baseline_or_derived: speedup}},
+             "reps", "elapsed_s"}.
+    """
+    t0 = time.perf_counter()
+    funcs = {}
+    for acc in accs:
+        funcs[f"tpul2_{acc}"] = candidate_fn(acc)
+    funcs.update(LEAN_EVAL_FUNCS)
+    if extra_funcs:
+        funcs.update(extra_funcs)
+
+    rng = np.random.default_rng(seed)
+    data0 = bu.fresh_inputs(rng, m, n, k, in_dtype)
+
+    # one shared probe sizes reps for every function of this shape
+    probe = bu.LeanTimer(LEAN_EVAL_FUNCS["xla_matmul"], m, n, k, in_dtype,
+                         probe_reps)
+    probe.warmup(data0)
+    est = probe.measure(data0)
+    reps = bu.pick_reps(est, target_ms=target_ms)
+
+    timers = {name: bu.LeanTimer(fn, m, n, k, in_dtype, reps)
+              for name, fn in funcs.items()}
+    for t in timers.values():
+        t.warmup(data0)
+
+    records = {name: [] for name in funcs}
+    order = list(funcs)
+    for trial in range(trials):
+        data = bu.fresh_inputs(rng, m, n, k, in_dtype)
+        random.shuffle(order)  # order-bias control (reference C5 :132)
+        for name in order:
+            records[name].append(timers[name].measure(data))
+
+    per_func = {}
+    for name, ms_list in records.items():
+        med = float(np.median(ms_list))
+        per_func[name] = {
+            "ms": med,
+            "iqr_ms": _iqr(ms_list),
+            "tflops": bu.tflops(m, n, k, med),
+        }
+
+    # derived autotuned baselines: best measured variant per layout
+    for derived, variants in AUTOTUNED_VARIANT_SETS.items():
+        best = min(variants, key=lambda v: per_func[v]["ms"])
+        per_func[derived] = dict(per_func[best], variant=best)
+
+    speedups = {}
+    for acc in accs:
+        cand_ms = per_func[f"tpul2_{acc}"]["ms"]
+        speedups[acc] = {
+            name: per_func[name]["ms"] / cand_ms
+            for name in per_func if not name.startswith("tpul2")}
+    return {
+        "mnk": [m, n, k],
+        "per_func": per_func,
+        "speedups": speedups,
+        "reps": reps,
+        "trials": trials,
+        "elapsed_s": time.perf_counter() - t0,
+    }

@@ -188,6 +188,38 @@ class ChainedTimer:
         return max(est, phys_min_ms)
 
 
+class LeanTimer:
+    """Single-program chained timer for suite-scale campaigns.
+
+    ChainedTimer compiles TWO programs per function (hi/lo rep counts) so
+    the fence floor cancels exactly — the right tool for tight tuning
+    margins, but at 1,000-shape campaign scale compile time dominates wall
+    clock.  LeanTimer compiles ONE chained program per function and
+    subtracts a floor sampled immediately before each trial; with
+    target_ms >= 150 the +-5 ms floor jitter is a <=3% error — adequate for
+    per-shape CSV rows, and the physical-minimum clamp still applies."""
+
+    def __init__(self, fn: Callable, m: int, n: int, k: int,
+                 in_dtype, reps: int):
+        self.m, self.n, self.k = m, n, k
+        self.in_dtype = in_dtype
+        self.reps = max(int(reps), 4)
+        self.run = make_chained_runner(fn, m, n, k, in_dtype, self.reps)
+
+    def warmup(self, data) -> None:
+        device_fence(self.run(*data))
+
+    def measure(self, data) -> float:
+        """One trial: floor-subtracted per-call milliseconds."""
+        floor = fence_floor_ms(1)
+        t0 = time.perf_counter()
+        device_fence(self.run(*data))
+        total = (time.perf_counter() - t0) * 1e3
+        est = max(total - floor, 1e-6) / self.reps
+        return max(est, physical_min_ms(self.m, self.n, self.k,
+                                        self.in_dtype))
+
+
 def physical_min_ms(m: int, n: int, k: int, in_dtype=jnp.bfloat16) -> float:
     """Lower bound on per-call time from chip physics (MXU peak + HBM BW).
 

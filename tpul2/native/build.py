@@ -26,13 +26,15 @@ _build_failed = False
 
 
 class TL2Config(ctypes.Structure):
+    # v2 layout — must match struct TL2Config in tunecache.cc (kVersion=2).
     _fields_ = [
         ("bm", ctypes.c_int32),
         ("bn", ctypes.c_int32),
         ("bk", ctypes.c_int32),
         ("acc", ctypes.c_int32),
         ("grid_order", ctypes.c_int32),
-        ("flags", ctypes.c_int32),
+        ("flags", ctypes.c_int32),      # bit0 xla, bit1 parallel_mn, bit2 rhs nk
+        ("vmem_limit", ctypes.c_int32),  # 0 = compiler default
         ("tflops", ctypes.c_float),
     ]
 
@@ -53,8 +55,17 @@ _DTYPE_IDS = {"bfloat16": 0, "float32": 1}
 
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
-    if _LIB_PATH.exists() and \
-            _LIB_PATH.stat().st_mtime >= (_DIR / "tunecache.cc").stat().st_mtime:
+    try:
+        # Regenerate the shared-constants header from tpul2.config (the
+        # single source of truth) so C++ and Python cannot silently diverge.
+        from tpul2.native.gen_constants import generate
+        generate()
+    except Exception:
+        pass
+    srcs = [_DIR / "tunecache.cc", _DIR / "tl2_constants.h"]
+    if _LIB_PATH.exists() and all(
+            _LIB_PATH.stat().st_mtime >= s.stat().st_mtime
+            for s in srcs if s.exists()):
         return ctypes.CDLL(str(_LIB_PATH))
     try:
         subprocess.run(["make", "-s", "libtpul2.so"], cwd=_DIR, check=True,
@@ -113,15 +124,18 @@ def _to_kernel_config(c: TL2Config):
         acc_dtype="float32" if c.acc == 0 else "bfloat16",
         grid_order="mn" if c.grid_order == 0 else "nm",
         parallel_mn=bool(c.flags & 2),
+        rhs_layout="nk" if c.flags & 4 else "kn",
+        vmem_limit_bytes=int(c.vmem_limit) if c.vmem_limit else None,
     )
 
 
 def _from_kernel_config(cfg, acc: str, tflops: float = 0.0) -> TL2Config:
-    flags = (1 if cfg.use_xla else 0) | (2 if cfg.parallel_mn else 0)
+    flags = ((1 if cfg.use_xla else 0) | (2 if cfg.parallel_mn else 0)
+             | (4 if cfg.rhs_layout == "nk" else 0))
     return TL2Config(cfg.bm, cfg.bn, cfg.bk,
                      _ACC_IDS.get(cfg.acc_dtype, 0),
                      0 if cfg.grid_order == "mn" else 1,
-                     flags, tflops)
+                     flags, int(cfg.vmem_limit_bytes or 0), tflops)
 
 
 class NativeTuneCache:

@@ -17,14 +17,19 @@
 #include <cstdlib>
 #include <cstring>
 
+#include "tl2_constants.h"  // GENERATED from tpul2/config.py — shared truth
+
 extern "C" {
 
-// Packed kernel config — mirrors tpul2.config.KernelConfig.
+// Packed kernel config — mirrors tpul2.config.KernelConfig (v2: adds the
+// rhs_layout bit and the vmem_limit_bytes field; round-1 sidecars silently
+// dropped rhs_layout='nk' — ADVICE r1 #2).
 struct TL2Config {
   int32_t bm, bn, bk;
   int32_t acc;        // 0 = float32, 1 = bfloat16
   int32_t grid_order; // 0 = mn, 1 = nm
-  int32_t flags;      // bit0: use_xla sentinel; bit1: parallel_mn
+  int32_t flags;      // bit0: use_xla; bit1: parallel_mn; bit2: rhs_layout nk
+  int32_t vmem_limit; // vmem_limit_bytes (0 = compiler default)
   float tflops;       // measured at tuning time
 };
 
@@ -95,7 +100,7 @@ void rehash(Cache* c, uint64_t new_cap) {
 }
 
 constexpr uint32_t kMagic = 0x54503255; // "TP2U"
-constexpr uint32_t kVersion = 1;
+constexpr uint32_t kVersion = 2;        // v2: rhs_layout bit + vmem_limit
 
 } // namespace
 
@@ -181,6 +186,9 @@ int32_t tl2_cache_load(void* h, const char* path) {
 
 // Heuristic fallback config — must stay in lockstep with
 // tpul2.config.heuristic_config (the Python reference implementation).
+// tests/test_native.py asserts equality over a dense grid including
+// shrink-exercising shapes; the shared constants come from the generated
+// tl2_constants.h (single source of truth = tpul2/config.py).
 static int32_t pick(int32_t dim, int32_t lo, const int32_t* choices,
                     int32_t n_choices) {
   int32_t cap = dim > lo ? ((dim + lo - 1) / lo) * lo : lo;
@@ -191,33 +199,76 @@ static int32_t pick(int32_t dim, int32_t lo, const int32_t* choices,
   return best;
 }
 
+static int64_t round_up64(int64_t x, int64_t mult) {
+  return ((x + mult - 1) / mult) * mult;
+}
+
+static int64_t cdiv64(int64_t a, int64_t b) { return (a + b - 1) / b; }
+
+// Physical VMEM bytes of one (rows x cols) block: tiles are
+// (sublane x lane)-aligned on chip (mirrors KernelConfig.vmem_bytes).
+static int64_t phys(int64_t rows, int64_t cols, int32_t sub, int64_t item) {
+  return round_up64(rows, sub) * round_up64(cols, kTl2Lane) * item;
+}
+
+// Conditional-double-buffering footprint model, exact mirror of
+// KernelConfig.vmem_bytes(in=bf16, out=bf16, shape=(m,n,k)), rhs 'kn'.
+static int64_t vmem_model(int32_t bm, int32_t bn, int32_t bk, int32_t acc,
+                          int32_t sub_in, int64_t m, int64_t n, int64_t k) {
+  const int64_t in_item = 2, out_item = 2;  // bf16 in/out
+  const int32_t sub_out = 16;               // bf16 output sublane
+  const int32_t sub_acc = (acc == 0) ? 8 : 16;
+  const int64_t acc_item = (acc == 0) ? 4 : 2;
+  int64_t a_blk = phys(bm, bk, sub_in, in_item);
+  int64_t b_blk = phys(bk, bn, sub_in, in_item);
+  int64_t o_blk = phys(bm, bn, sub_out, out_item);
+  int64_t acc_b = phys(bm, bn, sub_acc, acc_item);
+  int64_t gm = cdiv64(m, bm), gn = cdiv64(n, bn), gk = cdiv64(k, bk);
+  int64_t a_mult = (gm > 1 || gk > 1) ? 2 : 1;
+  int64_t b_mult = (gn > 1 || gk > 1) ? 2 : 1;
+  int64_t o_mult = (gm > 1 || gn > 1) ? 2 : 1;
+  if (gk == 1) acc_b = 0;
+  return a_mult * a_blk + b_mult * b_blk + o_mult * o_blk + acc_b;
+}
+
+// Valid in the DEFAULT compiler regime (no vmem_limit): footprint within
+// the calibrated budget AND the logical A block within the block cap —
+// mirrors KernelConfig.validate for vmem_limit_bytes=None.
+static bool default_regime_ok(int32_t bm, int32_t bn, int32_t bk,
+                              int32_t acc, int32_t sub_in,
+                              int64_t m, int64_t n, int64_t k) {
+  if ((int64_t)bm * bk * 2 > kTl2ABlockCap) return false;
+  return vmem_model(bm, bn, bk, acc, sub_in, m, n, k) <=
+         kTl2DefaultVmemBudget;
+}
+
 void tl2_heuristic(int32_t m, int32_t n, int32_t k, int32_t acc,
                    int32_t sublane, TL2Config* out) {
   static const int32_t bm16[] = {16, 32, 64, 128, 256, 512};
   static const int32_t bm8[] = {8, 16, 32, 64, 128, 256, 512};
   static const int32_t bns[] = {128, 256, 512};
   static const int32_t bks[] = {128, 256, 512, 1024};
-  out->bm = (sublane == 16) ? pick(m, 16, bm16, 6) : pick(m, 8, bm8, 7);
-  out->bn = pick(n, 128, bns, 3);
-  out->bk = pick(k, 128, bks, 4);
+  // Sub-lane problem dims take a full-dim block (no HBM padding copy) —
+  // round-2 rule, mirrored from heuristic_config.
+  out->bm = (m < sublane) ? m
+            : ((sublane == 16) ? pick(m, 16, bm16, 6) : pick(m, 8, bm8, 7));
+  out->bn = (n < kTl2Lane) ? n : pick(n, 128, bns, 3);
+  out->bk = (k < kTl2Lane) ? k : pick(k, 128, bks, 4);
   out->acc = acc;
   out->grid_order = 0;
-  out->flags = 2; // parallel_mn
+  out->flags = 2; // parallel_mn, rhs 'kn', no xla
+  out->vmem_limit = 0;
   out->tflops = 0.0f;
-  // VMEM budget shrink loop (2 bytes/elem in, double-buffered; acc f32/bf16).
-  const int64_t budget = 96LL * 1024 * 1024;
-  const int64_t acc_item = (acc == 0) ? 4 : 2;
-  for (;;) {
-    int64_t vmem = 2LL * (int64_t)out->bm * out->bk * 2 +
-                   2LL * (int64_t)out->bk * out->bn * 2 +
-                   2LL * (int64_t)out->bm * out->bn * 2 +
-                   (int64_t)out->bm * out->bn * acc_item;
-    if (vmem <= budget) break;
-    if (out->bk > 128) { out->bk /= 2; continue; }
-    if (out->bn > 128) { out->bn /= 2; continue; }
-    if (out->bm > sublane) { out->bm /= 2; continue; }
-    break;
-  }
+  // Shrink loops, same order as heuristic_config: bk, then bn, then bm.
+  while (!default_regime_ok(out->bm, out->bn, out->bk, acc, sublane,
+                            m, n, k) && out->bk > kTl2Lane)
+    out->bk /= 2;
+  while (!default_regime_ok(out->bm, out->bn, out->bk, acc, sublane,
+                            m, n, k) && out->bn > kTl2Lane)
+    out->bn /= 2;
+  while (!default_regime_ok(out->bm, out->bn, out->bk, acc, sublane,
+                            m, n, k) && out->bm > sublane)
+    out->bm /= 2;
 }
 
 } // extern "C"

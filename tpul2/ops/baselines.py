@@ -58,6 +58,17 @@ def xla_highest_tn(a, b, b_t):
                            preferred_element_type=jnp.float32).astype(a.dtype)
 
 
+@jax.jit
+def xla_sameacc_nn(a, b, b_t):
+    """dot_general with same-dtype accumulation (no f32 carry)."""
+    return lax.dot_general(a, b, _NN_DIMS)
+
+
+@jax.jit
+def xla_sameacc_tn(a, b, b_t):
+    return lax.dot_general(a, b_t, _TN_DIMS)
+
+
 # ---------------------------------------------------------------------------
 # Auto-tuned baseline: pick the best XLA formulation per shape.
 # Mirrors cuBLASLt auto-tuning's explicit pre-tune step
@@ -196,3 +207,28 @@ BASELINES = {
 
 def baseline_fn(name: str):
     return BASELINES[name]
+
+
+#: Measured function set for suite-scale (lean) evaluation: every concrete
+#: XLA formulation is timed once, and the AutoTuned-{nn,tn} columns are
+#: DERIVED as the per-shape best of each layout's variant set (exactly the
+#: winner find_best_xla_variant would pre-tune to, minus the re-measure
+#: noise of timing it twice).
+LEAN_EVAL_FUNCS = {
+    "xla_matmul": xla_matmul,
+    "xla_dot_nn": xla_dot_nn,
+    "xla_dot_tn": xla_dot_tn,
+    "xla_highest_nn": xla_highest_nn,
+    "xla_highest_tn": xla_highest_tn,
+    "xla_sameacc_nn": xla_sameacc_nn,
+    "xla_sameacc_tn": xla_sameacc_tn,
+}
+
+#: Variant sets backing each derived autotuned column — mirrors
+#: _variants(layout) above (default/sameacc/highest + opposite-layout).
+AUTOTUNED_VARIANT_SETS = {
+    "xla_autotuned_nn": ("xla_dot_nn", "xla_sameacc_nn", "xla_highest_nn",
+                         "xla_dot_tn", "xla_sameacc_tn"),
+    "xla_autotuned_tn": ("xla_dot_tn", "xla_sameacc_tn", "xla_highest_tn",
+                         "xla_dot_nn", "xla_sameacc_nn"),
+}
