@@ -138,3 +138,28 @@ def test_padding_waste():
     cfg = KernelConfig(bm=128, bn=128, bk=128)
     assert cfg.padding_waste(128, 128, 128) == 0.0
     assert cfg.padding_waste(64, 128, 128) == pytest.approx(0.5)
+
+
+def test_xla_variant_sentinels_in_candidates():
+    from tpul2.config import XLA_VARIANTS_FOR_ACC
+    for acc in ("float32", "bfloat16"):
+        cands = candidate_configs(512, 512, 512, acc_dtype=acc)
+        sentinels = {c.xla_variant for c in cands if c.use_xla}
+        assert sentinels == set(XLA_VARIANTS_FOR_ACC[acc])
+    # sameacc accumulation is only in the bfloat16 family's contract
+    f32_sent = {c.xla_variant
+                for c in candidate_configs(512, 512, 512) if c.use_xla}
+    assert not any(v.startswith("sameacc") for v in f32_sent)
+
+
+def test_xla_variant_validation_and_roundtrip():
+    cfg = KernelConfig.xla("dot_tn")
+    assert cfg.validate(jnp.bfloat16) is None
+    assert KernelConfig.from_json(cfg.to_json()) == cfg
+    bad = KernelConfig(use_xla=True, xla_variant="nope")
+    assert bad.validate(jnp.bfloat16) is not None
+    # round-1 JSON (no xla_variant field) decodes to the plain sentinel
+    import json as _json
+    old = {k: v for k, v in _json.loads(KernelConfig.xla().to_json()).items()
+           if k != "xla_variant"}
+    assert KernelConfig(**old).xla_variant == "matmul"

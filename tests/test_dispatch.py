@@ -70,3 +70,22 @@ def test_candidate_abi_matches_reference():
         fn = candidate_fn(acc)
         out = fn(a, b, b.T)
         assert out.shape == (16, 128)
+
+
+def test_xla_variant_dispatch_exact(tmp_path, monkeypatch):
+    """A stored sentinel with any xla_variant formulation dispatches to an
+    exact XLA path (with and without the caller-materialized b_t)."""
+    from tpul2.config import XLA_VARIANTS
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.integers(0, 2, (64, 96)), jnp.bfloat16)
+    b = jnp.asarray(rng.integers(0, 2, (96, 128)), jnp.bfloat16)
+    bt = jnp.swapaxes(b, 0, 1)
+    for v in XLA_VARIANTS:
+        cfg = KernelConfig.xla(v)
+        out = tpul2.matmul(a, b, config=cfg, out_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out), _ref(a, b), err_msg=v)
+        out2 = tpul2.matmul(a, b, config=cfg, b_t=bt, out_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out2), _ref(a, b),
+                                      err_msg=v)

@@ -113,3 +113,13 @@ def test_standalone_binary_selftest():
     out = subprocess.run([str(native_dir / "tunecache_test")],
                          capture_output=True, text=True, check=True)
     assert "PASS" in out.stdout
+
+
+def test_xla_variant_flag_bits_roundtrip():
+    from tpul2.config import XLA_VARIANTS
+    nc = NativeTuneCache()
+    for i, v in enumerate(XLA_VARIANTS):
+        nc.put(8 + i, 8, 8, KernelConfig.xla(v))
+    for i, v in enumerate(XLA_VARIANTS):
+        got = nc.get(8 + i, 8, 8)
+        assert got.use_xla and got.xla_variant == v, (v, got)

@@ -62,9 +62,11 @@ def _make_fn(cfg: KernelConfig, out_dtype, interpret):
     """Candidate as a uniform f(a, b, b_t) — the harness ABI (both RHS
     layouts supplied; the config decides which is consumed)."""
     if cfg.use_xla:
+        from tpul2.ops.baselines import XLA_VARIANT_FNS
+        raw = XLA_VARIANT_FNS[cfg.xla_variant]
+
         def f(a, b, b_t):
-            return jnp.matmul(a, b, preferred_element_type=jnp.float32
-                              ).astype(out_dtype)
+            return raw(a, b, b_t).astype(out_dtype)
     elif cfg.rhs_layout == "nk":
         from tpul2.ops.matmul import pallas_matmul_tn
 
@@ -130,13 +132,18 @@ class _ShapeTuning:
                           f"{str(e)[:120]}")
                 continue
             compiled.append((cfg, fn))
-        if not any(c.use_xla for c, _ in compiled):
+        # The speedup reference is the PLAIN sentinel (xla_variant='matmul'
+        # == stock jnp.matmul); other xla_variant sentinels are ordinary
+        # candidates competing alongside the Pallas configs.
+        if not any(c.use_xla and c.xla_variant == "matmul"
+                   for c, _ in compiled):
             raise RuntimeError("XLA sentinel failed to run — cannot tune")
         self.n_compiled = len(compiled)
 
         # Chained in-program timing (see bench_utils docstring: plain fenced
         # or batched calls are not trustworthy on tunneled TPU backends).
-        xla_fn = next(f for c, f in compiled if c.use_xla)
+        xla_fn = next(f for c, f in compiled
+                      if c.use_xla and c.xla_variant == "matmul")
         est = bu.estimate_per_call_ms(xla_fn, data0, m, n, k,
                                       in_dtype)
 
@@ -166,7 +173,8 @@ class _ShapeTuning:
 
         ranked = sorted(med1, key=med1.get)
         keep = set(ranked[:finalists])
-        keep.add(next(i for i, (c, _) in enumerate(compiled) if c.use_xla))
+        keep.add(next(i for i, (c, _) in enumerate(compiled)
+                      if c.use_xla and c.xla_variant == "matmul"))
         self.stage2 = [compiled[i] for i in sorted(keep)]
 
         # stage 2: difference-of-reps with medians (floor cancels exactly)
@@ -240,7 +248,7 @@ class _ShapeTuning:
 
         ranked = sorted(self.med2, key=self.med2.get)
         xla_i = next(i for i, (c, _) in enumerate(self.stage2)
-                     if c.use_xla)
+                     if c.use_xla and c.xla_variant == "matmul")
         best_i = None
         for i in ranked:
             cfg, fn = self.stage2[i]

@@ -64,6 +64,21 @@ A_BLOCK_CAP = 2 * 1024 * 1024
 #: probed-safe floor; also applied when only the A-block cap is exceeded).
 VMEM_LIMIT_FLOOR = 32 * 1024 * 1024
 
+#: XLA sentinel formulations, ordered by native flag id (tpul2/native
+#: encodes the variant in TL2Config.flags bits 3-5; id 0 = 'matmul' keeps
+#: round-1 sidecars decoding unchanged).  Implementations live in
+#: tpul2.ops.baselines.XLA_VARIANT_FNS.
+XLA_VARIANTS = ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
+                "sameacc_nn", "sameacc_tn")
+
+#: Sentinel variants whose result is exact for each accumulator family —
+#: the candidate set the tuner may store.  sameacc_* accumulate in the
+#: input dtype, which only the bfloat16 family's contract permits.
+XLA_VARIANTS_FOR_ACC = {
+    "float32": ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn"),
+    "bfloat16": XLA_VARIANTS,
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class KernelConfig:
@@ -91,6 +106,14 @@ class KernelConfig:
     vmem_limit_bytes: Optional[int] = None
     #: Sentinel: skip the Pallas kernel, call XLA dot_general.
     use_xla: bool = False
+    #: Which XLA formulation the sentinel dispatches to.  The reference's
+    #: cuBLASLt auto-tuning baseline picks among ≤100 vendor algos
+    #: (SURVEY.md §3.5); the tuner must compete on the same footing, so the
+    #: sentinel is not just jnp.matmul — any formulation in
+    #: tpul2.ops.baselines.XLA_VARIANT_FNS can be the stored winner
+    #: (dot layout, precision flag, accumulator handling).  Only meaningful
+    #: with use_xla=True; 'matmul' preserves round-1 DB semantics.
+    xla_variant: str = "matmul"
 
     # ---- serialization (the tuning DB stores these) ----
     def to_json(self) -> str:
@@ -101,8 +124,8 @@ class KernelConfig:
         return KernelConfig(**json.loads(s))
 
     @staticmethod
-    def xla() -> "KernelConfig":
-        return KernelConfig(use_xla=True)
+    def xla(variant: str = "matmul") -> "KernelConfig":
+        return KernelConfig(use_xla=True, xla_variant=variant)
 
     # ---- static validity model ----
     def vmem_bytes(self, in_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16,
@@ -170,6 +193,8 @@ class KernelConfig:
         not hardware).
         """
         if self.use_xla:
+            if self.xla_variant not in XLA_VARIANTS:
+                return f"unknown xla_variant {self.xla_variant}"
             return None
         m, n, k = shape if shape is not None else (None, None, None)
         sub = min_sublane(in_dtype)
@@ -355,5 +380,9 @@ def candidate_configs(m: int, n: int, k: int,
     # dimension-semantics axis: 'arbitrary' variants of the best picks
     out.extend([dataclasses.replace(c, parallel_mn=False)
                 for c in out[:6]])
-    out.append(KernelConfig.xla())  # vendor path is always a candidate
+    # The vendor path is always a candidate — and not just jnp.matmul:
+    # every exact-for-this-family XLA formulation competes, so dispatch
+    # can never lose to the XLA-AutoTuned baseline's variant set
+    # (the footing the reference's candidate has vs cuBLASLt-AT).
+    out.extend(KernelConfig.xla(v) for v in XLA_VARIANTS_FOR_ACC[acc_dtype])
     return out

@@ -56,7 +56,15 @@ def matmul(a: jax.Array, b: jax.Array, *,
     if config is None:
         config = resolve_config(m, n, k, acc, a.dtype)
     if config.use_xla:
-        out = jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        # Sentinel: the tuned XLA formulation (config.XLA_VARIANTS).  TN
+        # variants consume b_t for free when the caller supplies it (the
+        # reference's b_col_major contract); otherwise the swapaxes below
+        # is canonicalized by XLA into the dot's dimension numbers.
+        from tpul2.ops.baselines import XLA_VARIANT_FNS
+        variant = XLA_VARIANT_FNS[config.xla_variant]
+        bt = (b_t if b_t is not None else jnp.swapaxes(b, 0, 1)) \
+            if config.xla_variant.endswith("_tn") else None
+        out = variant(a, b, bt).astype(jnp.float32)
         if bias is not None:
             out = out + bias.astype(jnp.float32)
         from tpul2.ops.matmul import ACTIVATIONS

@@ -33,7 +33,8 @@ class TL2Config(ctypes.Structure):
         ("bk", ctypes.c_int32),
         ("acc", ctypes.c_int32),
         ("grid_order", ctypes.c_int32),
-        ("flags", ctypes.c_int32),      # bit0 xla, bit1 parallel_mn, bit2 rhs nk
+        ("flags", ctypes.c_int32),      # bit0 xla, bit1 parallel_mn, bit2 rhs
+                                        # nk, bits3-5 xla_variant id
         ("vmem_limit", ctypes.c_int32),  # 0 = compiler default
         ("tflops", ctypes.c_float),
     ]
@@ -116,9 +117,12 @@ def _key(m, n, k, acc, in_dtype_name) -> TL2Key:
 
 
 def _to_kernel_config(c: TL2Config):
-    from tpul2.config import KernelConfig
+    from tpul2.config import XLA_VARIANTS, KernelConfig
     if c.flags & 1:
-        return KernelConfig.xla()
+        # bits 3-5 carry the sentinel's XLA formulation; id 0 = 'matmul'
+        # keeps round-1 sidecars (which never set these bits) decoding
+        # to the identical config.
+        return KernelConfig.xla(XLA_VARIANTS[(c.flags >> 3) & 7])
     return KernelConfig(
         bm=c.bm, bn=c.bn, bk=c.bk,
         acc_dtype="float32" if c.acc == 0 else "bfloat16",
@@ -130,8 +134,11 @@ def _to_kernel_config(c: TL2Config):
 
 
 def _from_kernel_config(cfg, acc: str, tflops: float = 0.0) -> TL2Config:
+    from tpul2.config import XLA_VARIANTS
     flags = ((1 if cfg.use_xla else 0) | (2 if cfg.parallel_mn else 0)
              | (4 if cfg.rhs_layout == "nk" else 0))
+    if cfg.use_xla:
+        flags |= XLA_VARIANTS.index(cfg.xla_variant) << 3
     return TL2Config(cfg.bm, cfg.bn, cfg.bk,
                      _ACC_IDS.get(cfg.acc_dtype, 0),
                      0 if cfg.grid_order == "mn" else 1,

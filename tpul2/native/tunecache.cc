@@ -28,7 +28,8 @@ struct TL2Config {
   int32_t bm, bn, bk;
   int32_t acc;        // 0 = float32, 1 = bfloat16
   int32_t grid_order; // 0 = mn, 1 = nm
-  int32_t flags;      // bit0: use_xla; bit1: parallel_mn; bit2: rhs_layout nk
+  int32_t flags;      // bit0: use_xla; bit1: parallel_mn; bit2: rhs_layout nk;
+                      // bits3-5: xla_variant id (0=matmul; config.XLA_VARIANTS)
   int32_t vmem_limit; // vmem_limit_bytes (0 = compiler default)
   float tflops;       // measured at tuning time
 };

@@ -232,3 +232,27 @@ AUTOTUNED_VARIANT_SETS = {
     "xla_autotuned_tn": ("xla_dot_tn", "xla_sameacc_tn", "xla_highest_tn",
                          "xla_dot_nn", "xla_sameacc_nn"),
 }
+
+
+#: Raw (unjitted) XLA formulations keyed by KernelConfig.xla_variant —
+#: the sentinel's dispatch table.  The tuner enumerates these as candidates
+#: (config.XLA_VARIANTS_FOR_ACC) so the stored winner competes with the
+#: full formulation set the XLA-AutoTuned baseline draws from; dispatch
+#: inlines the raw fn into the caller's jit.  All return the f32 (or
+#: native-acc) product; the caller applies the output cast.
+XLA_VARIANT_FNS = {
+    "matmul": lambda a, b, b_t: jnp.matmul(
+        a, b, preferred_element_type=jnp.float32),
+    "dot_nn": lambda a, b, b_t: lax.dot_general(
+        a, b, _NN_DIMS, preferred_element_type=jnp.float32),
+    "dot_tn": lambda a, b, b_t: lax.dot_general(
+        a, b_t, _TN_DIMS, preferred_element_type=jnp.float32),
+    "highest_nn": lambda a, b, b_t: lax.dot_general(
+        a, b, _NN_DIMS, precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32),
+    "highest_tn": lambda a, b, b_t: lax.dot_general(
+        a, b_t, _TN_DIMS, precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32),
+    "sameacc_nn": lambda a, b, b_t: lax.dot_general(a, b, _NN_DIMS),
+    "sameacc_tn": lambda a, b, b_t: lax.dot_general(a, b_t, _TN_DIMS),
+}
