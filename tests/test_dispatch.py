@@ -89,3 +89,18 @@ def test_xla_variant_dispatch_exact(tmp_path, monkeypatch):
         out2 = tpul2.matmul(a, b, config=cfg, b_t=bt, out_dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(out2), _ref(a, b),
                                       err_msg=v)
+
+
+def test_tune_persists_to_passed_empty_db(tmp_path, monkeypatch):
+    """Regression: an EMPTY TuneDB is falsy (__len__), and `db or
+    default_db()` silently redirected the winner to the default DB."""
+    from tpul2.autotune.db import TuneDB
+    from tpul2.autotune.search import tune_shape
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "default.json"))
+    db_mod.reset_default_db()
+    mine = TuneDB(path=tmp_path / "mine.json")
+    assert len(mine) == 0
+    tune_shape(16, 128, 128, db=mine, max_candidates=2, stage1_rounds=1,
+               stage2_rounds=1, finalists=1, save=True)
+    assert len(mine) == 1
+    assert len(db_mod.default_db()) == 0

@@ -277,7 +277,9 @@ class _ShapeTuning:
             elapsed_s=time.perf_counter() - self.t_start,
         )
         if save:
-            db = db or default_db()
+            # NOT `db or default_db()`: an empty TuneDB is falsy (__len__),
+            # which would silently redirect writes to the default DB.
+            db = db if db is not None else default_db()
             persist = True
             if save == "improve":
                 # Noise guard (VERDICT r1 / ADVICE: a low-fidelity re-tune
