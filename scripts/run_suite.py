@@ -179,7 +179,17 @@ def cmd_eval(args) -> int:
             except Exception as e:
                 print(f"{mnk}: FAILED {type(e).__name__}: {e}",
                       file=sys.stderr)
-                return 1
+                if args.fail_fast:
+                    return 1
+                # campaign mode: record the failure and keep going — one
+                # infeasible giant must not end a 1,000-shape run (the
+                # reference's 3090 CSV similarly just omits its 264
+                # infeasible shapes, SURVEY.md §6)
+                with detail.with_suffix(".failures").open("a") as ff:
+                    ff.write(f"{mnk}\t{type(e).__name__}: {e}\n")
+                for acc in accs:
+                    done_sets[acc].add(mnk)
+                continue
             for acc in accs:
                 if mnk in done_sets[acc]:
                     continue
@@ -238,6 +248,9 @@ def main(argv=None) -> int:
     e.add_argument("--no_mini_tune", dest="mini_tune", action="store_false")
     e.add_argument("--mini_tune_cands", type=int, default=6)
     e.add_argument("--order", choices=["lex", "cost"], default="cost")
+    e.add_argument("--fail_fast", action="store_true",
+                   help="abort on the first shape failure (default: log to "
+                        "the .failures sidecar and continue)")
     e.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)

@@ -77,9 +77,32 @@ def test_eval_failure_fails_fast(tmp_path, monkeypatch):
         raise RuntimeError("kaput")
 
     monkeypatch.setattr(bs, "eval_shape_lean", boom)
-    rc = rs.main(["eval", "--dims", "64", "--max_shapes", "1",
+    rc = rs.main(["eval", "--dims", "64", "--max_shapes", "1", "--fail_fast",
                   "--no_mini_tune", "--out", str(tmp_path / "x.csv")])
     assert rc == 1
+
+
+def test_eval_failure_skips_and_continues_by_default(tmp_path, monkeypatch):
+    """Campaign mode: a failing shape is recorded in the .failures sidecar
+    and the run completes the remaining shapes (rc 0)."""
+    import tpul2.harness.bench_suite as bs
+
+    calls = []
+
+    def flaky(m, n, k, **kw):
+        if (m, n, k) == (64, 64, 64):
+            raise RuntimeError("kaput")
+        calls.append((m, n, k))
+        return _fake_lean(m, n, k, **kw)
+
+    monkeypatch.setattr(bs, "eval_shape_lean", flaky)
+    out = tmp_path / "suite_{acc}.csv"
+    rc = rs.main(["eval", "--dims", "64", "128", "--max_shapes", "3",
+                  "--no_mini_tune", "--out", str(out)])
+    assert rc == 0
+    assert len(calls) == 2
+    fail_file = tmp_path / "suite_float32_detail.failures"
+    assert fail_file.exists() and "64x64x64" in fail_file.read_text()
 
 
 def test_reverify_db_records_and_demotes(tmp_path, monkeypatch, capsys):
