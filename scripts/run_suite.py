@@ -151,16 +151,28 @@ def cmd_eval(args) -> int:
     try:
         for (m, n, k) in shapes:
             mnk = f"{m}x{n}x{k}"
-            # mini-tune fallback for shapes the tune campaign hasn't reached
+            # mini-tune fallback for shapes the tune campaign hasn't
+            # reached — plus re-tune of floor-regime entries stamped with
+            # an older timing methodology (their winners were noise-picked;
+            # see bench_utils.TIMING_REV)
             if args.mini_tune:
+                from tpul2.config import SPACE_REV
+                from tpul2.harness import bench_utils as bu
                 tuned_any = False
                 for acc in accs:
-                    if db.get(m, n, k, acc) is None:
+                    entry = db.get_entry(m, n, k, acc)
+                    stale = (entry is not None
+                             and (entry.get("timing_rev", 1) < bu.TIMING_REV
+                                  or entry.get("space_rev", 1) < SPACE_REV)
+                             and bu.physical_min_ms(m, n, k) < 2e-2)
+                    if entry is None or stale:
+                        seeds = ([db.get(m, n, k, acc)] if stale else None)
                         try:
                             tune_shape(m, n, k, acc=acc, db=db,
                                        max_candidates=args.mini_tune_cands,
                                        stage1_rounds=2, stage2_rounds=5,
-                                       finalists=3)
+                                       finalists=3, save=True,
+                                       seed_configs=seeds)
                             tuned_any = True
                         except Exception as e:
                             print(f"{mnk}/{acc}: mini-tune failed "

@@ -146,10 +146,12 @@ def test_xla_variant_sentinels_in_candidates():
         cands = candidate_configs(512, 512, 512, acc_dtype=acc)
         sentinels = {c.xla_variant for c in cands if c.use_xla}
         assert sentinels == set(XLA_VARIANTS_FOR_ACC[acc])
-    # sameacc accumulation is only in the bfloat16 family's contract
+    # sameacc variants compete in BOTH families — the exactness screen,
+    # not the accumulator annotation, enforces the family contract (the
+    # reference's fp32 zoo likewise ships gate-passing F16-atom kernels)
     f32_sent = {c.xla_variant
                 for c in candidate_configs(512, 512, 512) if c.use_xla}
-    assert not any(v.startswith("sameacc") for v in f32_sent)
+    assert any(v.startswith("sameacc") for v in f32_sent)
 
 
 def test_xla_variant_validation_and_roundtrip():

@@ -144,11 +144,13 @@ class _ShapeTuning:
         # or batched calls are not trustworthy on tunneled TPU backends).
         xla_fn = next(f for c, f in compiled
                       if c.use_xla and c.xla_variant == "matmul")
-        est = bu.estimate_per_call_ms(xla_fn, data0, m, n, k,
-                                      in_dtype)
+        # calibrated sizing (resolves the dispatch-floor regime where a
+        # short probe cannot see sub-µs per-call times)
+        reps2 = bu.calibrated_reps(xla_fn, data0, m, n, k, in_dtype,
+                                   target_ms=160.0)
 
         # stage 1: one short chained program per candidate, floor-subtracted
-        reps1 = bu.pick_reps(est, target_ms=40.0)
+        reps1 = max(8, reps2 // 4)
         runners1 = []
         for cfg, fn in compiled:
             r = bu.make_chained_runner(fn, m, n, k, in_dtype, reps1)
@@ -178,7 +180,6 @@ class _ShapeTuning:
         self.stage2 = [compiled[i] for i in sorted(keep)]
 
         # stage 2: difference-of-reps with medians (floor cancels exactly)
-        reps2 = bu.pick_reps(est, target_ms=160.0)
         timers = [bu.ChainedTimer(fn, m, n, k, in_dtype, reps2)
                   for cfg, fn in self.stage2]
         for t in timers:
@@ -292,10 +293,14 @@ class _ShapeTuning:
                         result.best_tflops <= stored.get("tflops", 0.0) * 1.10:
                     persist = False
             if persist:
+                from tpul2.config import SPACE_REV
+                from tpul2.harness.bench_utils import TIMING_REV
                 db.put(m, n, k, best_cfg, result.best_tflops, acc=self.acc,
                        in_dtype=self.in_dtype,
                        extra={"speedup_vs_xla": result.speedup,
-                              "xla_tflops": result.xla_tflops})
+                              "xla_tflops": result.xla_tflops,
+                              "timing_rev": TIMING_REV,
+                              "space_rev": SPACE_REV})
                 db.save()
         if self.verbose:
             print(f"tuned {m}x{n}x{k}/{self.acc}: "

@@ -71,13 +71,25 @@ VMEM_LIMIT_FLOOR = 32 * 1024 * 1024
 XLA_VARIANTS = ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
                 "sameacc_nn", "sameacc_tn")
 
-#: Sentinel variants whose result is exact for each accumulator family —
-#: the candidate set the tuner may store.  sameacc_* accumulate in the
-#: input dtype, which only the bfloat16 family's contract permits.
+#: Sentinel variants competing in each accumulator family.  ALL variants
+#: compete in BOTH families: the family contract is enforced by the
+#: exactness screen (0/1 inputs, diff == 0 vs f32 truth), not by the
+#: accumulator annotation — a sameacc dot that XLA lowers to one MXU pass
+#: accumulates f32 in hardware and is bit-identical to the preferred-f32
+#: formulation, while one that splits K into rounded partials fails the
+#: screen and is rejected.  Same stance as the reference, whose "fp32" zoo
+#: ships 51 kernels built on F16-accumulator MMA atoms that pass its gate
+#: (SURVEY.md §2 C9, kernels/a100_F32F16F16F32).
 XLA_VARIANTS_FOR_ACC = {
-    "float32": ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn"),
+    "float32": XLA_VARIANTS,
     "bfloat16": XLA_VARIANTS,
 }
+
+#: Candidate-space revision, stamped into TuneDB entries (with the timing
+#: revision) so campaigns can re-tune entries produced by an older, narrower
+#: space.  1 = round-1 tile space; 2 = VMEM-lift + full-dim blocks;
+#: 3 = XLA-variant sentinels (incl. sameacc in the f32 family).
+SPACE_REV = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,11 +64,16 @@ def matmul(a: jax.Array, b: jax.Array, *,
         variant = XLA_VARIANT_FNS[config.xla_variant]
         bt = (b_t if b_t is not None else jnp.swapaxes(b, 0, 1)) \
             if config.xla_variant.endswith("_tn") else None
-        out = variant(a, b, bt).astype(jnp.float32)
-        if bias is not None:
-            out = out + bias.astype(jnp.float32)
-        from tpul2.ops.matmul import ACTIVATIONS
-        out = ACTIVATIONS[activation](out)
+        out = variant(a, b, bt)
+        if bias is not None or activation is not None:
+            # epilogue in f32 (mirrors the Pallas kernels' f32 epilogue);
+            # the bare product keeps the variant's own dtype so a sameacc
+            # sentinel stays a single fused dot
+            out = out.astype(jnp.float32)
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            from tpul2.ops.matmul import ACTIVATIONS
+            out = ACTIVATIONS[activation](out)
         return out.astype(out_dtype or a.dtype)
     if bias is None and activation is None:
         if config.rhs_layout == "nk":

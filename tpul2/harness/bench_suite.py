@@ -63,12 +63,12 @@ def eval_shape_lean(m: int, n: int, k: int,
     rng = np.random.default_rng(seed)
     data0 = bu.fresh_inputs(rng, m, n, k, in_dtype)
 
-    # one shared probe sizes reps for every function of this shape
-    probe = bu.LeanTimer(LEAN_EVAL_FUNCS["xla_matmul"], m, n, k, in_dtype,
-                         probe_reps)
-    probe.warmup(data0)
-    est = probe.measure(data0)
-    reps = bu.pick_reps(est, target_ms=target_ms)
+    # one shared calibrated probe sizes reps for every function of this
+    # shape (iterative refinement — in the dispatch-floor regime a short
+    # probe cannot resolve sub-µs per-call times, see bu.calibrated_reps)
+    reps = bu.calibrated_reps(LEAN_EVAL_FUNCS["xla_matmul"], data0,
+                              m, n, k, in_dtype, target_ms=target_ms,
+                              probe_reps=probe_reps)
 
     timers = {name: bu.LeanTimer(fn, m, n, k, in_dtype, reps)
               for name, fn in funcs.items()}
@@ -92,10 +92,25 @@ def eval_shape_lean(m: int, n: int, k: int,
             "tflops": bu.tflops(m, n, k, med),
         }
 
-    # derived autotuned baselines: best measured variant per layout
+    # derived autotuned baselines: best measured variant per layout,
+    # RE-MEASURED on fresh trials — selecting by min-of-medians and then
+    # reusing that same median is biased low by selection noise in the
+    # dispatch-floor regime; the reference likewise separates the pre-tune
+    # (find_best_algo) from the benchmark that times the chosen algo
+    # (SURVEY.md §3.5)
+    remeasured = {}
     for derived, variants in AUTOTUNED_VARIANT_SETS.items():
         best = min(variants, key=lambda v: per_func[v]["ms"])
-        per_func[derived] = dict(per_func[best], variant=best)
+        if best not in remeasured:
+            ms = [timers[best].measure(bu.fresh_inputs(rng, m, n, k,
+                                                       in_dtype))
+                  for _ in range(trials)]
+            remeasured[best] = {
+                "ms": float(np.median(ms)),
+                "iqr_ms": _iqr(ms),
+                "tflops": bu.tflops(m, n, k, float(np.median(ms))),
+            }
+        per_func[derived] = dict(remeasured[best], variant=best)
 
     speedups = {}
     for acc in accs:

@@ -252,9 +252,51 @@ def estimate_per_call_ms(fn: Callable, data, m, n, k, in_dtype,
                physical_min_ms(m, n, k, in_dtype), 1e-5)
 
 
+#: Timing-methodology revision, stamped into TuneDB entries.  Rev 2 lifted
+#: the rep-count cap from 100k to 4M: with the old cap, shapes whose
+#: per-call time is sub-microsecond ran ~10 ms chained programs against a
+#: ±5 ms fence-floor jitter — per-call noise of ±50 ns on 60–100 ns
+#: measurements, i.e. every number in the dispatch-floor regime was noise
+#: (and tuner winners there were arbitrary).  Entries stamped with an older
+#: rev in that regime are re-tuned by the campaign's mini-tune pass.
+TIMING_REV = 2
+
+
 def pick_reps(per_call_ms: float, target_ms: float = 200.0,
-              max_reps: int = 100_000) -> int:
+              max_reps: int = 4_000_000) -> int:
+    """Reps so the chained program runs ~target_ms.  The cap only guards
+    against a pathological per-call estimate; a lax.scan's compile time is
+    O(body), not O(length), so multi-million-rep programs are fine."""
     return int(min(max_reps, max(8, target_ms / per_call_ms)))
+
+
+def calibrated_reps(fn: Callable, data, m: int, n: int, k: int, in_dtype,
+                    target_ms: float = 200.0, probe_reps: int = 64,
+                    max_rounds: int = 4) -> int:
+    """Size the chained rep count so the program actually runs ~target_ms.
+
+    In the dispatch-floor regime (per-call ≲ 1 µs) a short probe cannot
+    resolve the per-call time at all: a 64-rep program's total is fence
+    floor ± jitter, so (total − floor)/64 is dominated by the ±ms jitter.
+    Refine iteratively: size reps from the probe estimate, re-measure at
+    that size, and resize until the program lands within 2× of target —
+    every refinement measures a LONGER program, whose floor-subtracted
+    per-call estimate is proportionally more accurate.  Growth per round
+    is bounded (est ≥ 1 ms/reps) so a jitter-negative measurement cannot
+    explode the rep count."""
+    est = estimate_per_call_ms(fn, data, m, n, k, in_dtype, probe_reps)
+    reps = pick_reps(est, target_ms)
+    for _ in range(max_rounds):
+        if reps < 8 * probe_reps:
+            break  # probe resolved the per-call time directly
+        t = LeanTimer(fn, m, n, k, in_dtype, reps)
+        t.warmup(data)
+        est2 = max(t.measure(data), 1.0 / reps)
+        new = pick_reps(est2, target_ms)
+        if reps // 2 <= new <= reps * 2:
+            return new
+        reps = new
+    return reps
 
 
 def tflops(m: int, n: int, k: int, ms: float) -> float:
