@@ -219,6 +219,84 @@ def cmd_eval(args) -> int:
     return 0
 
 
+SERVER_EXTRA_COLUMNS = ["iqr_rel", "quality"]
+
+
+def cmd_eval_server(args) -> int:
+    """Server-mode (Poisson-arrival) campaign — same resumable-CSV shape
+    as cmd_eval, plus per-row honesty columns: iqr_rel (worst relative IQR
+    across the measured functions) and quality ('ok' | 'floor_limited').
+    VERDICT r1 #3: no silently-trusted server rows."""
+    import json
+
+    from tpul2.harness.bench_suite import eval_shape_server_lean
+    from tpul2.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    accs = args.accs
+    outs = {acc: Path(args.out.format(acc=acc)) for acc in accs}
+    for p in outs.values():
+        p.parent.mkdir(parents=True, exist_ok=True)
+    detail = Path(args.detail or
+                  str(next(iter(outs.values()))).replace(".csv",
+                                                         "_detail.jsonl"))
+    done_sets = {acc: _load_done(p) for acc, p in outs.items()}
+    shapes = [s for s in grid(args.dims, args.max_shapes, args.max_elems,
+                              order=args.order)
+              if any(f"{s[0]}x{s[1]}x{s[2]}" not in done_sets[acc]
+                     for acc in accs)]
+    if args.chunk_shapes:
+        shapes = shapes[:args.chunk_shapes]
+    print(f"server-evaluating {len(shapes)} shapes", file=sys.stderr)
+
+    cols = CSV_COLUMNS + SERVER_EXTRA_COLUMNS
+    files, writers = {}, {}
+    for acc, p in outs.items():
+        write_header = not p.exists()
+        files[acc] = p.open("a", newline="")
+        writers[acc] = csv.DictWriter(files[acc], fieldnames=cols)
+        if write_header:
+            writers[acc].writeheader()
+    try:
+        for (m, n, k) in shapes:
+            mnk = f"{m}x{n}x{k}"
+            try:
+                res = eval_shape_server_lean(
+                    m, n, k, accs=accs, n_requests=args.n_requests,
+                    request_ms=args.request_ms, load=args.load)
+            except Exception as e:
+                print(f"{mnk}: FAILED {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                if args.fail_fast:
+                    return 1
+                with detail.with_suffix(".failures").open("a") as ff:
+                    ff.write(f"{mnk}\t{type(e).__name__}: {e}\n")
+                for acc in accs:
+                    done_sets[acc].add(mnk)
+                continue
+            iqr_rel = max(v["iqr_ms"] / v["ms"]
+                          for v in res["per_func"].values())
+            for acc in accs:
+                if mnk in done_sets[acc]:
+                    continue
+                row = _row_from_lean(mnk, res["speedups"][acc])
+                row["iqr_rel"] = round(iqr_rel, 4)
+                row["quality"] = res["quality"]
+                writers[acc].writerow(row)
+                files[acc].flush()
+            with detail.open("a") as df:
+                df.write(json.dumps(res) + "\n")
+            sp = res["speedups"][accs[0]]
+            print(f"{mnk}: matmul={sp['xla_matmul']:.3f} "
+                  f"AT-max={min(sp['xla_autotuned_tn'], sp['xla_autotuned_nn']):.3f} "
+                  f"[{res['quality']}] ({res['elapsed_s']:.1f}s)",
+                  file=sys.stderr)
+    finally:
+        for f in files.values():
+            f.close()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -264,6 +342,22 @@ def main(argv=None) -> int:
                    help="abort on the first shape failure (default: log to "
                         "the .failures sidecar and continue)")
     e.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("eval_server", parents=[common])
+    s.add_argument("--accs", nargs="+", default=["float32"],
+                   choices=["float32", "bfloat16"])
+    s.add_argument("--out", type=str, required=True,
+                   help="CSV path; may contain {acc}")
+    s.add_argument("--detail", type=str, default=None)
+    s.add_argument("--n_requests", type=int, default=20)
+    s.add_argument("--request_ms", type=float, default=40.0)
+    s.add_argument("--load", type=float, default=1.0,
+                   help="offered load as a fraction of capacity "
+                        "(gap mean = service estimate / load)")
+    s.add_argument("--chunk_shapes", type=int, default=None)
+    s.add_argument("--order", choices=["lex", "cost"], default="cost")
+    s.add_argument("--fail_fast", action="store_true")
+    s.set_defaults(fn=cmd_eval_server)
 
     args = ap.parse_args(argv)
     return args.fn(args)

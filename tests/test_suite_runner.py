@@ -140,3 +140,33 @@ def test_aggregate_results(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "jnp.matmul" in out and "1.0392x" in out  # geomean of 1.2, 0.9
+
+
+def test_eval_server_csv_with_quality_columns(tmp_path, monkeypatch):
+    """Server campaign rows carry the honesty columns (VERDICT r1 #3)."""
+    import tpul2.harness.bench_suite as bs
+
+    def fake_server(m, n, k, accs=("float32",), **kw):
+        res = _fake_lean(m, n, k, accs=accs)
+        res["mode"] = "server"
+        res["per_func"] = {"xla_matmul": {"ms": 1.0, "iqr_ms": 0.05,
+                                          "tflops": 1.0, "p99_ms": 1.2}}
+        res["quality"] = "ok"
+        return res
+
+    monkeypatch.setattr(bs, "eval_shape_server_lean", fake_server)
+    out = tmp_path / "server_{acc}.csv"
+    rc = rs.main(["eval_server", "--dims", "64", "128", "--max_shapes", "2",
+                  "--accs", "float32", "--out", str(out)])
+    assert rc == 0
+    with (tmp_path / "server_float32.csv").open() as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert rows[0]["quality"] == "ok"
+    assert float(rows[0]["iqr_rel"]) == 0.05
+    # resume skips done rows
+    rc = rs.main(["eval_server", "--dims", "64", "128", "--max_shapes", "2",
+                  "--accs", "float32", "--out", str(out)])
+    assert rc == 0
+    with (tmp_path / "server_float32.csv").open() as f:
+        assert len(list(csv.DictReader(f))) == 2
