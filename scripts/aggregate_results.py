@@ -21,10 +21,13 @@ def aggregate(path: Path) -> dict:
         rows = list(csv.DictReader(f))
     if not rows:
         return {}
-    cols = [c for c in rows[0] if c != "mnk"]
+    cols = [c for c in rows[0] if c not in ("mnk", "quality", "iqr_rel")]
     out = {}
     for c in cols:
-        vals = [float(r[c]) for r in rows if r.get(c)]
+        try:
+            vals = [float(r[c]) for r in rows if r.get(c)]
+        except ValueError:
+            continue  # non-numeric honesty column
         if not vals:
             continue
         out[c] = {

@@ -84,6 +84,22 @@ def _load_done(path: Path) -> set:
         return {row["mnk"] for row in csv.DictReader(f)}
 
 
+def pallas_win_band(m: int, n: int, k: int) -> bool:
+    """Shapes where per-shape Pallas tiling plausibly beats XLA, from
+    round-1 measured evidence (BENCH_NOTES.md): thin contractions (XLA's
+    tiling degrades on small K) and skinny-M/N streaming shapes (whole-K
+    resident blocks win).  Elsewhere XLA is at 94-98% of peak and the
+    honest candidate is the best XLA formulation — so the campaign spends
+    its Pallas-compile budget only where it can pay off."""
+    if k <= 512 and max(m, n) >= 2048:
+        return True
+    if m <= 256 and min(n, k) >= 2048:
+        return True
+    if n <= 256 and min(m, k) >= 2048:
+        return True
+    return False
+
+
 #: lean-eval speedup key -> CSV column
 _LEAN_COLS = {
     "xla_matmul": "jnp.matmul",
@@ -151,11 +167,11 @@ def cmd_eval(args) -> int:
     try:
         for (m, n, k) in shapes:
             mnk = f"{m}x{n}x{k}"
-            # mini-tune fallback for shapes the tune campaign hasn't
-            # reached — plus re-tune of floor-regime entries stamped with
-            # an older timing methodology (their winners were noise-picked;
-            # see bench_utils.TIMING_REV)
-            if args.mini_tune:
+            # Pallas mini-tune only in the measured win bands (the compile
+            # count of tile candidates dominated campaign wall clock);
+            # everywhere else eval_shape_lean derives sentinel DB entries
+            # from its own baseline measurements at zero extra compiles.
+            if args.mini_tune and pallas_win_band(m, n, k):
                 from tpul2.config import SPACE_REV
                 from tpul2.harness import bench_utils as bu
                 tuned_any = False
@@ -163,8 +179,7 @@ def cmd_eval(args) -> int:
                     entry = db.get_entry(m, n, k, acc)
                     stale = (entry is not None
                              and (entry.get("timing_rev", 1) < bu.TIMING_REV
-                                  or entry.get("space_rev", 1) < SPACE_REV)
-                             and bu.physical_min_ms(m, n, k) < 2e-2)
+                                  or entry.get("space_rev", 1) < SPACE_REV))
                     if entry is None or stale:
                         seeds = ([db.get(m, n, k, acc)] if stale else None)
                         try:
@@ -187,7 +202,8 @@ def cmd_eval(args) -> int:
                           if m * n * k >= (8192 ** 3) else args.trials)
                 res = eval_shape_lean(m, n, k, accs=accs,
                                       trials=trials,
-                                      target_ms=args.target_ms)
+                                      target_ms=args.target_ms,
+                                      db=db if args.mini_tune else None)
             except Exception as e:
                 print(f"{mnk}: FAILED {type(e).__name__}: {e}",
                       file=sys.stderr)

@@ -148,3 +148,27 @@ def test_chained_adapter_value_correct_all_branches():
             expect = np.asarray(a, np.float32).copy()
             expect[:, :n] = c
             np.testing.assert_array_equal(out, expect)
+
+
+def test_eval_shape_lean_derives_sentinel_entries(tmp_path, monkeypatch):
+    """The campaign evaluator fills missing DB entries from its own
+    baseline measurements (exactness-screened best variant) and publishes
+    phase-2 columns for every baseline."""
+    import tpul2.autotune.db as db_mod
+    from tpul2.harness.bench_suite import eval_shape_lean
+
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    res = eval_shape_lean(16, 128, 128, accs=("float32", "bfloat16"),
+                          trials=1, sel_trials=1, target_ms=2.0, db=db)
+    for acc in ("float32", "bfloat16"):
+        entry = db.get_entry(16, 128, 128, acc)
+        assert entry is not None and entry["config"]["use_xla"]
+        assert entry["scope"] == "sentinels"
+        assert entry["timing_rev"] >= 2
+    for col in ("tpul2_float32", "tpul2_bfloat16", "xla_matmul",
+                "xla_autotuned_nn", "xla_autotuned_tn"):
+        assert res["per_func"][col]["ms"] > 0
+    assert "variant" in res["per_func"]["xla_autotuned_nn"]
+    db_mod.reset_default_db()

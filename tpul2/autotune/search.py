@@ -120,42 +120,45 @@ class _ShapeTuning:
         # the very pathology the chained design defends against.
         data0 = _device_data(rng, m, n, k, in_dtype)
 
-        # compile/execute screen (no D2H)
+        # Chained in-program timing (see bench_utils docstring: plain fenced
+        # or batched calls are not trustworthy on tunneled TPU backends).
+        # The speedup reference is the PLAIN sentinel (xla_variant='matmul'
+        # == stock jnp.matmul); other xla_variant sentinels are ordinary
+        # candidates competing alongside the Pallas configs.
+        xla_fn = _make_fn(KernelConfig.xla(), out_dtype, interpret)
+        try:
+            xla_fn.lower(*data0).compile()
+        except Exception as e:
+            raise RuntimeError(
+                f"XLA sentinel failed to compile — cannot tune: {e}")
+        # calibrated sizing (resolves the dispatch-floor regime where a
+        # short probe cannot see sub-µs per-call times)
+        reps2 = bu.calibrated_reps(xla_fn, data0, m, n, k, in_dtype,
+                                   target_ms=160.0)
+        reps1 = max(8, reps2 // 4)
+
+        # compile screen MERGED into the stage-1 chained-program build: the
+        # chain compile subsumes a separate raw compile (half the compile
+        # count — the campaign's dominant cost); the raw fn compiles lazily
+        # only for the finalists reaching the exactness screen
         compiled = []
+        runners1 = []
         for cfg in cands:
             fn = _make_fn(cfg, out_dtype, interpret)
+            r = bu.make_chained_runner(fn, m, n, k, in_dtype, reps1)
             try:
-                fn.lower(*data0).compile()
+                bu.device_fence(r(*data0))  # compile + warmup
             except Exception as e:
                 if verbose:
                     print(f"  skip {cfg}: {type(e).__name__}: "
                           f"{str(e)[:120]}")
                 continue
             compiled.append((cfg, fn))
-        # The speedup reference is the PLAIN sentinel (xla_variant='matmul'
-        # == stock jnp.matmul); other xla_variant sentinels are ordinary
-        # candidates competing alongside the Pallas configs.
+            runners1.append(r)
         if not any(c.use_xla and c.xla_variant == "matmul"
                    for c, _ in compiled):
             raise RuntimeError("XLA sentinel failed to run — cannot tune")
         self.n_compiled = len(compiled)
-
-        # Chained in-program timing (see bench_utils docstring: plain fenced
-        # or batched calls are not trustworthy on tunneled TPU backends).
-        xla_fn = next(f for c, f in compiled
-                      if c.use_xla and c.xla_variant == "matmul")
-        # calibrated sizing (resolves the dispatch-floor regime where a
-        # short probe cannot see sub-µs per-call times)
-        reps2 = bu.calibrated_reps(xla_fn, data0, m, n, k, in_dtype,
-                                   target_ms=160.0)
-
-        # stage 1: one short chained program per candidate, floor-subtracted
-        reps1 = max(8, reps2 // 4)
-        runners1 = []
-        for cfg, fn in compiled:
-            r = bu.make_chained_runner(fn, m, n, k, in_dtype, reps1)
-            bu.device_fence(r(*data0))  # warmup/compile
-            runners1.append(r)
         floor = bu.fence_floor_ms()
 
         def t_of(runner, data):

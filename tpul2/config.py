@@ -390,8 +390,10 @@ def candidate_configs(m: int, n: int, k: int,
     out.sort(key=prior)
     out = out[:max_candidates]
     # dimension-semantics axis: 'arbitrary' variants of the best picks
+    # (scaled with the candidate budget — a mini-tune's compile count is
+    # the campaign's dominant cost)
     out.extend([dataclasses.replace(c, parallel_mn=False)
-                for c in out[:6]])
+                for c in out[:min(6, max_candidates // 2)]])
     # The vendor path is always a candidate — and not just jnp.matmul:
     # every exact-for-this-family XLA formulation competes, so dispatch
     # can never lose to the XLA-AutoTuned baseline's variant set

@@ -131,6 +131,84 @@ def eval_shape_server_lean(m: int, n: int, k: int,
     }
 
 
+def _screen_variant_exact(variant: str, m: int, n: int, k: int,
+                          in_dtype, acc: str, seed: int) -> bool:
+    """0/1 exactness screen of one XLA sentinel formulation (the family
+    contract — same criterion as the tuner's finalist screen,
+    tpul2.autotune.search._ShapeTuning.finish)."""
+    import jax
+
+    from tpul2.harness.correctness import zero_one_density
+    from tpul2.ops.baselines import XLA_VARIANT_FNS
+
+    bf16ish = acc == "bfloat16" or jnp.dtype(in_dtype).name == "bfloat16"
+    dens = zero_one_density(k, "bfloat16" if bf16ish else "float32")
+    bound = 256.0 if bf16ish else float(1 << 24)
+    key = jax.random.key(seed)
+
+    @jax.jit
+    def diff(key):
+        ka, kb = jax.random.split(key)
+        sa = (jax.random.uniform(ka, (m, k)) < dens).astype(in_dtype)
+        sb = (jax.random.uniform(kb, (k, n)) < dens).astype(in_dtype)
+        sbt = jnp.swapaxes(sb, 0, 1)
+        truth = jax.lax.dot_general(
+            sa.astype(jnp.float32), sb.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        out = XLA_VARIANT_FNS[variant](sa, sb, sbt).astype(jnp.float32)
+        d = jnp.abs(out - truth)
+        d = jnp.where(jnp.abs(truth) <= bound, d, 0.0)
+        finite = jnp.all(jnp.isfinite(out))
+        return jnp.where(finite, jnp.max(d), jnp.inf)
+
+    return float(jax.device_get(diff(key))) == 0.0
+
+
+def _tune_sentinels_from_eval(db, m: int, n: int, k: int, accs,
+                              in_dtype, sel_ms: dict, seed: int) -> bool:
+    """Derive per-acc sentinel DB entries from the eval's own baseline
+    measurements (fastest exactness-screened variant) — the campaign-scale
+    replacement for a separate sentinel-only tune_shape pass, whose compile
+    count dominated wall clock.  Only fills missing or stale-SENTINEL
+    entries; stored Pallas winners are left for the full tuner."""
+    from tpul2.config import SPACE_REV
+    from tpul2.harness.bench_utils import TIMING_REV
+
+    ranked = sorted((v for v in LEAN_EVAL_FUNCS if v in sel_ms),
+                    key=lambda v: sel_ms[v])
+    changed = False
+    for acc in accs:
+        entry = db.get_entry(m, n, k, acc, in_dtype)
+        if entry is not None:
+            stale = (entry.get("timing_rev", 1) < TIMING_REV
+                     or entry.get("space_rev", 1) < SPACE_REV)
+            if not (stale and entry["config"].get("use_xla")):
+                continue
+        best = None
+        for name in ranked:
+            variant = name[len("xla_"):]
+            if _screen_variant_exact(variant, m, n, k, in_dtype, acc, seed):
+                best = name
+                break
+        if best is None:
+            continue
+        from tpul2.config import KernelConfig
+        db.put(m, n, k, KernelConfig.xla(best[len("xla_"):]),
+               bu.tflops(m, n, k, sel_ms[best]), acc=acc,
+               in_dtype=in_dtype,
+               extra={"speedup_vs_xla": sel_ms["xla_matmul"] / sel_ms[best],
+                      "xla_tflops": bu.tflops(m, n, k,
+                                              sel_ms["xla_matmul"]),
+                      "timing_rev": TIMING_REV, "space_rev": SPACE_REV,
+                      "scope": "sentinels"})
+        changed = True
+    if changed:
+        db.save()
+    return changed
+
+
 def eval_shape_lean(m: int, n: int, k: int,
                     accs: Sequence[str] = ("float32",),
                     in_dtype=jnp.bfloat16,
@@ -138,21 +216,24 @@ def eval_shape_lean(m: int, n: int, k: int,
                     target_ms: float = 150.0,
                     seed: int = 0,
                     probe_reps: int = 32,
-                    extra_funcs: Optional[dict] = None) -> dict:
+                    extra_funcs: Optional[dict] = None,
+                    db=None,
+                    sel_trials: int = 2) -> dict:
     """Measure candidate(s) + all lean baselines for one shape.
+
+    Two phases, mirroring the reference's pre-tune/benchmark split
+    (SURVEY.md §3.5): a short SELECTION phase times the XLA baselines
+    (choosing each AutoTuned layout's variant, and — when ``db`` is given —
+    deriving sentinel DB entries for missing/stale shapes at zero extra
+    compile cost); the PUBLICATION phase then re-measures every published
+    column (candidates + all variants) interleaved and shuffled, so no
+    column reuses the measurement that selected it.
 
     Returns {"per_func": {name: {"ms", "iqr_ms", "tflops"}},
              "speedups": {acc: {baseline_or_derived: speedup}},
              "reps", "elapsed_s"}.
     """
     t0 = time.perf_counter()
-    funcs = {}
-    for acc in accs:
-        funcs[f"tpul2_{acc}"] = candidate_fn(acc)
-    funcs.update(LEAN_EVAL_FUNCS)
-    if extra_funcs:
-        funcs.update(extra_funcs)
-
     rng = np.random.default_rng(seed)
     data0 = bu.fresh_inputs(rng, m, n, k, in_dtype)
 
@@ -163,10 +244,39 @@ def eval_shape_lean(m: int, n: int, k: int,
                               m, n, k, in_dtype, target_ms=target_ms,
                               probe_reps=probe_reps)
 
+    base_funcs = dict(LEAN_EVAL_FUNCS)
+    if extra_funcs:
+        base_funcs.update(extra_funcs)
     timers = {name: bu.LeanTimer(fn, m, n, k, in_dtype, reps)
-              for name, fn in funcs.items()}
+              for name, fn in base_funcs.items()}
     for t in timers.values():
         t.warmup(data0)
+
+    # ---- phase 1: selection (baselines only) ----
+    sel_records = {name: [] for name in base_funcs}
+    order = list(base_funcs)
+    for _ in range(max(sel_trials, 1)):
+        data = bu.fresh_inputs(rng, m, n, k, in_dtype)
+        random.shuffle(order)
+        for name in order:
+            sel_records[name].append(timers[name].measure(data))
+    sel_ms = {name: float(np.median(v)) for name, v in sel_records.items()}
+    at_choice = {derived: min(variants, key=lambda v: sel_ms[v])
+                 for derived, variants in AUTOTUNED_VARIANT_SETS.items()}
+
+    if db is not None:
+        if _tune_sentinels_from_eval(db, m, n, k, accs, in_dtype, sel_ms,
+                                     seed):
+            from tpul2.dispatch import refresh_candidates
+            refresh_candidates()
+
+    # ---- phase 2: publication (candidates + every baseline column) ----
+    funcs = dict(base_funcs)
+    for acc in accs:
+        funcs[f"tpul2_{acc}"] = candidate_fn(acc)
+        timers[f"tpul2_{acc}"] = bu.LeanTimer(funcs[f"tpul2_{acc}"],
+                                              m, n, k, in_dtype, reps)
+        timers[f"tpul2_{acc}"].warmup(data0)
 
     records = {name: [] for name in funcs}
     order = list(funcs)
@@ -185,25 +295,11 @@ def eval_shape_lean(m: int, n: int, k: int,
             "tflops": bu.tflops(m, n, k, med),
         }
 
-    # derived autotuned baselines: best measured variant per layout,
-    # RE-MEASURED on fresh trials — selecting by min-of-medians and then
-    # reusing that same median is biased low by selection noise in the
-    # dispatch-floor regime; the reference likewise separates the pre-tune
-    # (find_best_algo) from the benchmark that times the chosen algo
-    # (SURVEY.md §3.5)
-    remeasured = {}
-    for derived, variants in AUTOTUNED_VARIANT_SETS.items():
-        best = min(variants, key=lambda v: per_func[v]["ms"])
-        if best not in remeasured:
-            ms = [timers[best].measure(bu.fresh_inputs(rng, m, n, k,
-                                                       in_dtype))
-                  for _ in range(trials)]
-            remeasured[best] = {
-                "ms": float(np.median(ms)),
-                "iqr_ms": _iqr(ms),
-                "tflops": bu.tflops(m, n, k, float(np.median(ms))),
-            }
-        per_func[derived] = dict(remeasured[best], variant=best)
+    # derived autotuned columns: the phase-1-selected variant's PHASE-2
+    # measurement (selection and publication never share a sample, so the
+    # min-of-medians bias of a derived column vanishes)
+    for derived, best in at_choice.items():
+        per_func[derived] = dict(per_func[best], variant=best)
 
     speedups = {}
     for acc in accs:
