@@ -51,44 +51,39 @@ DEFAULT_SHAPES = [
 def main() -> int:
     import numpy as np
 
-    from tpul2.autotune.db import default_db
-    from tpul2.autotune.search import tune_many
+    from tpul2.harness.bench_suite import eval_shape_lean
     from tpul2.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
-    db = default_db()
 
-    seconds = float(os.environ.get("TPUL2_BENCH_SECONDS", "3"))
+    trials = int(os.environ.get("TPUL2_BENCH_TRIALS", "5"))
     shapes_env = os.environ.get("TPUL2_BENCH_SHAPES")
     shapes = ([tuple(map(int, s.split(","))) for s in shapes_env.split(";")]
               if shapes_env else DEFAULT_SHAPES)
 
-    tuned = any(db.get(m, n, k) for (m, n, k) in shapes)
-    # tune_many re-times stored winners and the XLA sentinel with the same
-    # methodology; all shapes are timed before any device→host transfer.
-    # save=False: the round benchmark MEASURES — its low-fidelity re-times
-    # must never overwrite campaign-quality DB entries (VERDICT r1 / ADVICE).
-    results = tune_many(
-        shapes,
-        stage1_rounds=2 if tuned else 3,
-        stage2_rounds=max(4, int(seconds * 2)),
-        max_candidates=8 if tuned else 24,
-        finalists=3,
-        save=False,
-        verbose=False,
-    )
-
+    # Same phase-split methodology as the campaign CSVs (selection vs
+    # publication samples, calibrated rep sizing, fresh shuffled trials):
+    # the headline measures the DISPATCHED library (tuning-DB config or
+    # derived sentinel) against stock XLA — it never writes the DB, so a
+    # round benchmark cannot clobber campaign-quality entries.
     speedups = []
     per_shape = {}
-    for res in results:
-        per_shape[f"{res.m}x{res.n}x{res.k}"] = {
-            "speedup": round(res.speedup, 4),
-            "tflops": round(res.best_tflops, 2),
-            "xla_tflops": round(res.xla_tflops, 2),
+    for (m, n, k) in shapes:
+        res = eval_shape_lean(m, n, k, accs=("float32",), trials=trials)
+        sp = res["speedups"]["float32"]["xla_matmul"]
+        cand = res["per_func"]["tpul2_float32"]
+        per_shape[f"{m}x{n}x{k}"] = {
+            "speedup": round(sp, 4),
+            "tflops": round(cand["tflops"], 2),
+            "xla_tflops": round(res["per_func"]["xla_matmul"]["tflops"], 2),
+            "at_max": round(min(
+                res["speedups"]["float32"]["xla_autotuned_nn"],
+                res["speedups"]["float32"]["xla_autotuned_tn"]), 4),
         }
-        speedups.append(res.speedup)
-        print(f"# {res.m}x{res.n}x{res.k}: {res.speedup:.4f}x "
-              f"({res.best_tflops:.1f} vs {res.xla_tflops:.1f} TFLOPS)",
+        speedups.append(sp)
+        print(f"# {m}x{n}x{k}: {sp:.4f}x "
+              f"({cand['tflops']:.1f} vs "
+              f"{res['per_func']['xla_matmul']['tflops']:.1f} TFLOPS)",
               file=sys.stderr)
 
     geomean = float(np.exp(np.mean(np.log(speedups))))

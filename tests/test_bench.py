@@ -1,6 +1,7 @@
 """Benchmark harness tests (C5/C6/C7 parity) — tiny time budgets on CPU."""
 
 import json
+import pathlib
 
 import jax.numpy as jnp
 import numpy as np
@@ -171,4 +172,34 @@ def test_eval_shape_lean_derives_sentinel_entries(tmp_path, monkeypatch):
                 "xla_autotuned_nn", "xla_autotuned_tn"):
         assert res["per_func"][col]["ms"] > 0
     assert "variant" in res["per_func"]["xla_autotuned_nn"]
+    db_mod.reset_default_db()
+
+
+def test_bench_py_emits_json_line(tmp_path, monkeypatch):
+    """bench.py (the round headline) runs the campaign methodology and
+    prints exactly one JSON line."""
+    import importlib.util
+    import io
+    import json as _json
+    import sys as _sys
+
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    monkeypatch.setenv("TPUL2_BENCH_SHAPES", "16,128,128;32,128,64")
+    monkeypatch.setenv("TPUL2_BENCH_TRIALS", "1")
+    import tpul2.autotune.db as db_mod
+    db_mod.reset_default_db()
+    spec = importlib.util.spec_from_file_location(
+        "bench_main", str(pathlib.Path(__file__).parent.parent / "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cap = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", cap)
+    assert mod.main() == 0
+    monkeypatch.undo()
+    lines = [l for l in cap.getvalue().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    payload = _json.loads(lines[0])
+    assert payload["metric"] == "geomean_speedup_vs_xla_dot"
+    assert payload["value"] > 0
+    assert set(payload["shapes"]) == {"16x128x128", "32x128x64"}
     db_mod.reset_default_db()
