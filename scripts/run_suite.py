@@ -172,6 +172,7 @@ def cmd_eval(args) -> int:
             # everywhere else eval_shape_lean derives sentinel DB entries
             # from its own baseline measurements at zero extra compiles.
             if args.mini_tune and pallas_win_band(m, n, k):
+                from tpul2.autotune.transfer import neighbor_seed_configs
                 from tpul2.config import SPACE_REV
                 from tpul2.harness import bench_utils as bu
                 tuned_any = False
@@ -181,13 +182,21 @@ def cmd_eval(args) -> int:
                              and (entry.get("timing_rev", 1) < bu.TIMING_REV
                                   or entry.get("space_rev", 1) < SPACE_REV))
                     if entry is None or stale:
-                        seeds = ([db.get(m, n, k, acc)] if stale else None)
+                        seeds = neighbor_seed_configs(db, m, n, k, acc)
+                        if stale:
+                            seeds = [db.get(m, n, k, acc)] + seeds
+                        # neighbor-transfer seeding: with seeds available,
+                        # skip full tile enumeration — each large-tile
+                        # Mosaic compile costs 20-60 s, and the seeds carry
+                        # the band's winning structure (see
+                        # tpul2.autotune.transfer)
+                        n_tiles = 0 if seeds else args.mini_tune_cands
                         try:
                             tune_shape(m, n, k, acc=acc, db=db,
-                                       max_candidates=args.mini_tune_cands,
+                                       max_candidates=n_tiles,
                                        stage1_rounds=2, stage2_rounds=5,
                                        finalists=3, save=True,
-                                       seed_configs=seeds)
+                                       seed_configs=seeds or None)
                             tuned_any = True
                         except Exception as e:
                             print(f"{mnk}/{acc}: mini-tune failed "

@@ -108,6 +108,19 @@ class TuneDB:
         self._ensure()
         return self._entries.get(_key(m, n, k, acc, in_dtype))
 
+    def entries_for(self, acc: str = "float32", in_dtype=jnp.bfloat16):
+        """All ((m, n, k), entry) pairs of one (acc, in_dtype) family —
+        the neighbor pool for transfer seeding (autotune.transfer)."""
+        self._ensure()
+        suffix = f"/{acc}/{jnp.dtype(in_dtype).name}"
+        out = []
+        for key, entry in self._entries.items():
+            if not key.endswith(suffix):
+                continue
+            mnk = key.split("/", 1)[0]
+            out.append((tuple(int(x) for x in mnk.split("_")), entry))
+        return out
+
     def put(self, m: int, n: int, k: int, config: KernelConfig,
             tflops: float, acc: str = "float32", in_dtype=jnp.bfloat16,
             extra: Optional[dict] = None) -> None:
