@@ -84,6 +84,46 @@ def _load_done(path: Path) -> set:
         return {row["mnk"] for row in csv.DictReader(f)}
 
 
+def _repair_csv(path: Path, threshold: float = 0.97,
+                ratio_cap: float = 2.5) -> set:
+    """Drop tainted rows from a campaign CSV so they are re-evaluated.
+
+    Tainted = the candidate lost to ``jnp.matmul`` beyond the noise band
+    (< threshold — the never-lose contract says a healthy row can't), lost
+    >10% to ANY column (the derived AutoTuned columns carry ~2sigma more
+    noise than single formulations, so only a hard floor avoids re-eval
+    churn on honest ~0.95 rows), or the columns are internally
+    inconsistent (max/min > ratio_cap: the XLA formulations are
+    near-identical programs, so a 2.5x spread inside one row means a
+    corrupted measurement, e.g. a recompile or fence stall landed inside
+    one column's trials).  Runs at chunk start, before the CSV is opened
+    for append; the re-eval then goes through the heal_entries_from_eval
+    never-lose path.  Returns the dropped mnks."""
+    if not path.exists():
+        return set()
+    with path.open() as f:
+        rows = list(csv.DictReader(f))
+    if not rows:
+        return set()
+    fieldnames = list(rows[0].keys())
+    dropped = set()
+    for r in rows:
+        vals = [float(v) for c, v in r.items() if c != "mnk" and v]
+        if vals and (float(r["jnp.matmul"]) < threshold
+                     or min(vals) < 0.90
+                     or max(vals) / min(vals) > ratio_cap):
+            dropped.add(r["mnk"])
+    if dropped:
+        keep = [r for r in rows if r["mnk"] not in dropped]
+        tmp = path.with_suffix(".tmp")
+        with tmp.open("w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fieldnames)
+            w.writeheader()
+            w.writerows(keep)
+        tmp.replace(path)
+    return dropped
+
+
 def pallas_win_band(m: int, n: int, k: int) -> bool:
     """Shapes where per-shape Pallas tiling plausibly beats XLA, from
     round-1 measured evidence (BENCH_NOTES.md): thin contractions (XLA's
@@ -131,6 +171,8 @@ def cmd_eval(args) -> int:
     for).  Server-mode campaigns use cmd_eval_server below."""
     import json
 
+    import jax.numpy as jnp
+
     from tpul2.autotune.db import default_db
     from tpul2.autotune.search import tune_shape
     from tpul2.dispatch import refresh_candidates
@@ -145,6 +187,12 @@ def cmd_eval(args) -> int:
     detail = Path(args.detail or
                   str(next(iter(outs.values()))).replace(".csv",
                                                          "_detail.jsonl"))
+    if args.repair:
+        for acc, p in outs.items():
+            dropped = _repair_csv(p, threshold=args.repair_threshold)
+            if dropped:
+                print(f"repair[{acc}]: re-evaluating {len(dropped)} tainted "
+                      f"rows: {sorted(dropped)}", file=sys.stderr)
     done_sets = {acc: _load_done(p) for acc, p in outs.items()}
     shapes = [s for s in grid(args.dims, args.max_shapes, args.max_elems,
                               order=args.order)
@@ -213,6 +261,20 @@ def cmd_eval(args) -> int:
                                       trials=trials,
                                       target_ms=args.target_ms,
                                       db=db if args.mini_tune else None)
+                if args.mini_tune:
+                    # never-lose self-healing: demote losing configs to the
+                    # fastest screened sentinel and re-measure once
+                    from tpul2.harness.bench_suite import heal_entries_from_eval
+                    demoted = heal_entries_from_eval(db, m, n, k, accs,
+                                                     jnp.bfloat16, res)
+                    if demoted:
+                        print(f"{mnk}: healed {demoted}, re-measuring",
+                              file=sys.stderr)
+                        refresh_candidates()
+                        res = eval_shape_lean(m, n, k, accs=accs,
+                                              trials=trials,
+                                              target_ms=args.target_ms,
+                                              db=None)
             except Exception as e:
                 print(f"{mnk}: FAILED {type(e).__name__}: {e}",
                       file=sys.stderr)
@@ -362,6 +424,12 @@ def main(argv=None) -> int:
     e.add_argument("--mini_tune", action="store_true", default=True)
     e.add_argument("--no_mini_tune", dest="mini_tune", action="store_false")
     e.add_argument("--mini_tune_cands", type=int, default=6)
+    e.add_argument("--repair", action="store_true", default=True,
+                   help="drop tainted CSV rows (candidate loss beyond "
+                        "noise, or inconsistent columns) at startup so "
+                        "they re-evaluate through the healing path")
+    e.add_argument("--no_repair", dest="repair", action="store_false")
+    e.add_argument("--repair_threshold", type=float, default=0.97)
     e.add_argument("--order", choices=["lex", "cost"], default="cost")
     e.add_argument("--fail_fast", action="store_true",
                    help="abort on the first shape failure (default: log to "

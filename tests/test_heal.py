@@ -1,0 +1,77 @@
+"""Post-eval DB self-healing tests (never-lose contract)."""
+import jax.numpy as jnp
+
+from tpul2.autotune.db import TuneDB
+from tpul2.config import KernelConfig
+from tpul2.harness.bench_suite import heal_entries_from_eval
+
+
+def _res(cand_speedup, ms=None):
+    ms = ms or {"xla_matmul": 1.0, "xla_dot_nn": 1.02, "xla_dot_tn": 0.95,
+                "xla_highest_nn": 1.01, "xla_highest_tn": 0.97,
+                "xla_sameacc_nn": 1.10, "xla_sameacc_tn": 1.11}
+    per_func = {name: {"ms": v, "iqr_ms": 0.0, "tflops": 1.0 / v}
+                for name, v in ms.items()}
+    cand_ms = ms["xla_matmul"] / cand_speedup
+    per_func["tpul2_float32"] = {"ms": cand_ms, "iqr_ms": 0.0,
+                                 "tflops": 1.0 / cand_ms}
+    speedups = {"float32": {n: per_func[n]["ms"] / cand_ms
+                            for n in ms}}
+    return {"per_func": per_func, "speedups": speedups}
+
+
+def test_demotes_losing_pallas_entry(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    bad = KernelConfig(bm=32, bn=2048, bk=1024)
+    db.put(64, 2048, 1024, bad, tflops=68.0,
+           extra={"speedup_vs_xla": 1.0})
+    res = _res(cand_speedup=0.80)
+    demoted = heal_entries_from_eval(db, 64, 2048, 1024, ["float32"],
+                                     jnp.bfloat16, res)
+    assert demoted == ["float32"]
+    entry = db.get_entry(64, 2048, 1024, "float32")
+    cfg = entry["config"]
+    assert cfg["use_xla"]
+    # fastest screened variant wins (dot_tn at 0.95 ms in the fixture)
+    assert cfg["xla_variant"] == "dot_tn"
+    assert entry["demoted_from"]["bm"] == 32
+    assert entry["scope"] == "heal_demote"
+
+
+def test_noise_loss_on_correct_sentinel_just_remeasures(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 64, 64, KernelConfig.xla("dot_tn"), tflops=1.0,
+           extra={"speedup_vs_xla": 1.05})
+    res = _res(cand_speedup=0.90)
+    demoted = heal_entries_from_eval(db, 64, 64, 64, ["float32"],
+                                     jnp.bfloat16, res)
+    # dispatch already uses the measured-best screened variant: the loss is
+    # noise -> flag for re-measure but keep the config
+    assert demoted == ["float32"]
+    assert db.get_entry(64, 64, 64, "float32")["config"]["xla_variant"] == \
+        "dot_tn"
+
+
+def test_refreshes_bogus_sentinel_bookkeeping(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(128, 512, 1024, KernelConfig.xla("dot_nn"), tflops=108.9,
+           extra={"speedup_vs_xla": 15.48})  # corrupted selection sample
+    res = _res(cand_speedup=1.0)
+    demoted = heal_entries_from_eval(db, 128, 512, 1024, ["float32"],
+                                     jnp.bfloat16, res)
+    assert demoted == []
+    entry = db.get_entry(128, 512, 1024, "float32")
+    # rewritten from phase-2 medians: matmul 1.0 / dot_nn 1.02
+    assert abs(entry["speedup_vs_xla"] - 1.0 / 1.02) < 1e-9
+    assert entry["speedup_vs_xla"] < 1.1
+
+
+def test_winning_pallas_entry_untouched(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    win = KernelConfig(bm=64, bn=2048, bk=64)
+    db.put(64, 2048, 64, win, tflops=50.0, extra={"speedup_vs_xla": 1.3})
+    res = _res(cand_speedup=1.25)
+    demoted = heal_entries_from_eval(db, 64, 2048, 64, ["float32"],
+                                     jnp.bfloat16, res)
+    assert demoted == []
+    assert not db.get_entry(64, 2048, 64, "float32")["config"]["use_xla"]

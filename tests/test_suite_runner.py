@@ -170,3 +170,30 @@ def test_eval_server_csv_with_quality_columns(tmp_path, monkeypatch):
     assert rc == 0
     with (tmp_path / "server_float32.csv").open() as f:
         assert len(list(csv.DictReader(f))) == 2
+
+
+def test_repair_drops_tainted_rows(tmp_path):
+    p = tmp_path / "suite.csv"
+    with p.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=rs.CSV_COLUMNS)
+        w.writeheader()
+        base = {c: "1.05" for c in rs.CSV_COLUMNS[1:]}
+        w.writerow(dict(base, mnk="64x64x64"))                   # healthy
+        w.writerow(dict(base, mnk="128x512x1024",
+                        **{"jnp.matmul": "0.0322"}))             # loss
+        w.writerow(dict(base, mnk="256x64x64",
+                        **{"jnp.matmul": "2.9"}))                # inconsistent
+        w.writerow(dict(base, mnk="64x128x64",
+                        **{"XLA-dot-tn": "0.95"}))               # mild loss
+        w.writerow(dict(base, mnk="64x64x128",
+                        **{"XLA-dot-tn": "0.85"}))               # hard loss
+    dropped = rs._repair_csv(p, threshold=0.97)
+    # mild (>=0.90) non-matmul losses are tolerated (honest noise on the
+    # derived columns); matmul losses, hard losses, and inconsistent rows
+    # are re-evaluated
+    assert dropped == {"128x512x1024", "256x64x64", "64x64x128"}
+    with p.open() as f:
+        rows = list(csv.DictReader(f))
+    assert [r["mnk"] for r in rows] == ["64x64x64", "64x128x64"]
+    # idempotent on a clean file
+    assert rs._repair_csv(p, threshold=0.97) == set()
