@@ -194,8 +194,11 @@ def cmd_eval(args) -> int:
                 print(f"repair[{acc}]: re-evaluating {len(dropped)} tainted "
                       f"rows: {sorted(dropped)}", file=sys.stderr)
     done_sets = {acc: _load_done(p) for acc, p in outs.items()}
-    shapes = [s for s in grid(args.dims, args.max_shapes, args.max_elems,
-                              order=args.order)
+    pool = ([tuple(map(int, s.split(","))) for s in args.shapes.split(";")]
+            if getattr(args, "shapes", None)
+            else grid(args.dims, args.max_shapes, args.max_elems,
+                      order=args.order))
+    shapes = [s for s in pool
               if any(f"{s[0]}x{s[1]}x{s[2]}" not in done_sets[acc]
                      for acc in accs)]
     if args.chunk_shapes:
@@ -431,6 +434,11 @@ def main(argv=None) -> int:
     e.add_argument("--no_repair", dest="repair", action="store_false")
     e.add_argument("--repair_threshold", type=float, default=0.97)
     e.add_argument("--order", choices=["lex", "cost"], default="cost")
+    e.add_argument("--shapes", type=str, default=None,
+                   help="explicit 'm,n,k;m,n,k;...' list evaluated INSTEAD "
+                        "of the dims grid (priority passes, e.g. the round-"
+                        "benchmark suite); still resumable/healed like any "
+                        "campaign shape")
     e.add_argument("--fail_fast", action="store_true",
                    help="abort on the first shape failure (default: log to "
                         "the .failures sidecar and continue)")

@@ -197,3 +197,26 @@ def test_repair_drops_tainted_rows(tmp_path):
     assert [r["mnk"] for r in rows] == ["64x64x64", "64x128x64"]
     # idempotent on a clean file
     assert rs._repair_csv(p, threshold=0.97) == set()
+
+
+def test_eval_explicit_shapes(tmp_path, monkeypatch):
+    calls = []
+
+    def fake_lean(m, n, k, **kw):
+        calls.append((m, n, k))
+        return _fake_lean(m, n, k, **kw)
+
+    import tpul2.harness.bench_suite as bs
+    monkeypatch.setattr(bs, "eval_shape_lean", fake_lean)
+    out = tmp_path / "prio_{acc}.csv"
+    rc = rs.main(["eval", "--shapes", "64,4096,512;16,8192,8192",
+                  "--accs", "float32", "--no_mini_tune",
+                  "--out", str(out)])
+    assert rc == 0
+    assert calls == [(64, 4096, 512), (16, 8192, 8192)]
+    # resumable: second run skips both
+    calls.clear()
+    rc = rs.main(["eval", "--shapes", "64,4096,512;16,8192,8192",
+                  "--accs", "float32", "--no_mini_tune",
+                  "--out", str(out)])
+    assert rc == 0 and calls == []
