@@ -11,6 +11,13 @@ set -u
 cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/campaign.log}"
 CHUNK="${2:-100}"
+# single-instance lock: two concurrent campaign loops would contend the
+# TPU (corrupting every measurement) and interleave duplicate CSV rows
+exec 9>/tmp/tpul2_campaign.lock
+if ! flock -n 9; then
+  echo "campaign.sh: another campaign loop holds /tmp/tpul2_campaign.lock" >&2
+  exit 1
+fi
 for i in $(seq 1 60); do
   echo "=== chunk $i start $(date -u +%H:%M:%S) ===" >> "$LOG"
   timeout 5400 python scripts/run_suite.py eval \
