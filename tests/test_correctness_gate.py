@@ -161,3 +161,28 @@ def test_canary_detects_oob_style_corruption(monkeypatch):
                            config=KernelConfig(bm=64, bn=128, bk=128))
     assert not res["pass"]
     assert not res["pad_rows_ok"] or not res["pad_cols_ok"]
+
+
+def test_correctness_campaign_sweeps_db(tmp_path, capsys):
+    """scripts/correctness_campaign: every non-sentinel DB entry runs the
+    gate in interpret mode; sentinels and over-cap configs are skipped."""
+    import json
+
+    import scripts.correctness_campaign as cc
+    from tpul2.autotune.db import TuneDB
+    from tpul2.config import KernelConfig
+
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 256, 64, KernelConfig(bm=64, bn=256, bk=64), tflops=1.0)
+    db.put(64, 128, 64, KernelConfig.xla(), tflops=1.0)       # sentinel
+    db.put(4096, 4096, 4096, KernelConfig(bm=128, bn=128, bk=128),
+           tflops=1.0, acc="bfloat16")                        # over cap
+    db.save()
+    out = tmp_path / "cc.json"
+    rc = cc.main(["--db", str(db.path), "--out", str(out),
+                  "--iterations", "1", "--max_steps", "64"])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["summary"]["checked"] == 1
+    assert rep["summary"]["passed"] == 1
+    assert rep["summary"]["skipped"][0]["mnk"] == "4096x4096x4096"

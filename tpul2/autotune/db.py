@@ -108,6 +108,15 @@ class TuneDB:
         self._ensure()
         return self._entries.get(_key(m, n, k, acc, in_dtype))
 
+    def items(self):
+        """All ((m, n, k), acc, entry) triples (every in_dtype)."""
+        self._ensure()
+        out = []
+        for key, entry in self._entries.items():
+            mnk, acc, _ = key.split("/")
+            out.append((tuple(int(x) for x in mnk.split("_")), acc, entry))
+        return out
+
     def entries_for(self, acc: str = "float32", in_dtype=jnp.bfloat16):
         """All ((m, n, k), entry) pairs of one (acc, in_dtype) family —
         the neighbor pool for transfer seeding (autotune.transfer)."""
