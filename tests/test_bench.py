@@ -203,3 +203,21 @@ def test_bench_py_emits_json_line(tmp_path, monkeypatch):
     assert payload["value"] > 0
     assert set(payload["shapes"]) == {"16x128x128", "32x128x64"}
     db_mod.reset_default_db()
+
+
+def test_eval_shape_server_lean_end_to_end():
+    """Server-mode lean eval on CPU: structure, phase-split derived
+    columns, and the quality flag."""
+    from tpul2.harness.bench_suite import eval_shape_server_lean
+
+    res = eval_shape_server_lean(64, 64, 64, accs=("float32",),
+                                 n_requests=4, request_ms=2.0)
+    assert res["mode"] == "server"
+    assert res["quality"] in ("ok", "floor_limited")
+    pf = res["per_func"]
+    assert pf["tpul2_float32"]["ms"] > 0
+    for derived in ("xla_autotuned_nn", "xla_autotuned_tn"):
+        assert pf[derived]["variant"] in pf
+    sp = res["speedups"]["float32"]
+    assert set(sp) >= {"xla_matmul", "xla_autotuned_nn", "xla_autotuned_tn"}
+    assert all(v > 0 for v in sp.values())
