@@ -159,7 +159,13 @@ def canary_check(m: int, n: int, k: int,
     if cfg.use_xla:
         return {"pass": True, "skipped": "xla sentinel config"}
     rng = np.random.default_rng(seed)
-    p = zero_one_density(k, "float32")
+    # Family-correct exactness: a bf16-accumulator config legitimately
+    # rounds once sums exceed bf16's 256 integer bound, so the bf16 family
+    # uses its own density and masks above-bound entries (same criterion
+    # as compare_with_cpu_f32) — otherwise every large-K bf16-acc kernel
+    # would be a false canary failure.
+    fam = "bfloat16" if cfg.acc_dtype == "bfloat16" else "float32"
+    p = zero_one_density(k, fam)
     a = _draw_01(rng, (m, k), p, in_dtype)
     b = _draw_01(rng, (k, n), p, in_dtype)
     out = np.asarray(jax.block_until_ready(
@@ -168,7 +174,12 @@ def canary_check(m: int, n: int, k: int,
     pad_rows_ok = bool(np.all(out[m:, :] == 0.0)) if mp > m else True
     pad_cols_ok = bool(np.all(out[:, n:] == 0.0)) if np_ > n else True
     truth = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
-    valid_ok = bool(np.array_equal(out[:m, :n], truth))
+    valid = out[:m, :n]
+    if fam == "bfloat16":
+        mask = np.abs(truth) <= EXACT_BOUND["bfloat16"]
+        valid_ok = bool(np.array_equal(valid[mask], truth[mask]))
+    else:
+        valid_ok = bool(np.array_equal(valid, truth))
     return {
         "pass": pad_rows_ok and pad_cols_ok and valid_ok,
         "pad_rows_ok": pad_rows_ok,
