@@ -40,6 +40,38 @@ def aggregate(path: Path) -> dict:
     return out
 
 
+def band(mnk: str) -> str:
+    """Shape-band classification for the win-story breakdown: the tuned
+    library's wins concentrate in thin-K and skinny streaming bands
+    (BENCH_NOTES.md); squares are XLA-parity by design."""
+    m, n, k = (int(x) for x in mnk.split("x"))
+    if m == n == k:
+        return "square"
+    if k <= 512 and max(m, n) >= 2048:
+        return "thin-K"
+    if (m <= 256 and min(n, k) >= 2048) or (n <= 256 and min(m, k) >= 2048):
+        return "skinny"
+    return "other"
+
+
+def band_table(path: Path, col: str = "jnp.matmul") -> dict:
+    with path.open() as f:
+        rows = list(csv.DictReader(f))
+    out = {}
+    for b in ("thin-K", "skinny", "square", "other"):
+        vals = [float(r[col]) for r in rows
+                if r.get(col) and band(r["mnk"]) == b]
+        if vals:
+            out[b] = {
+                "n": len(vals),
+                "geomean": math.exp(sum(math.log(v) for v in vals)
+                                    / len(vals)),
+                "max": max(vals),
+                "wins": sum(v > 1.03 for v in vals),
+            }
+    return out
+
+
 def main(argv=None) -> int:
     paths = [Path(p) for p in (argv or sys.argv[1:])]
     if not paths:
@@ -55,6 +87,13 @@ def main(argv=None) -> int:
         for c, s in agg.items():
             print(f"| {c} | {s['mean']:.4f}x | {s['geomean']:.4f}x "
                   f"| {s['wins']} | {s['ties']} |")
+        bands = band_table(p)
+        if bands:
+            print("\n| Band (vs jnp.matmul) | n | Geomean | Best | wins>1.03 |")
+            print("|---|---|---|---|---|")
+            for b, s in bands.items():
+                print(f"| {b} | {s['n']} | {s['geomean']:.4f}x "
+                      f"| {s['max']:.4f}x | {s['wins']} |")
     return 0
 
 
