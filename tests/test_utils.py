@@ -62,3 +62,13 @@ def test_platform_on_cpu():
 def test_physical_min_noop_on_cpu():
     from tpul2.harness.bench_utils import physical_min_ms
     assert physical_min_ms(4096, 4096, 4096) == 1e-5
+
+
+def test_tpu_generation_env_override(monkeypatch):
+    from tpul2.utils import platform as pl
+    pl.tpu_generation.cache_clear()
+    monkeypatch.setenv("TPUL2_GEN", "v5e")
+    assert pl.tpu_generation() == "v5e"
+    monkeypatch.delenv("TPUL2_GEN")
+    pl.tpu_generation.cache_clear()
+    assert pl.tpu_generation() == "cpu"  # tests force the CPU backend

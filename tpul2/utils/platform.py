@@ -10,6 +10,7 @@ must run in interpreter mode (CPU), and expose peak-MXU numbers for
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 
@@ -40,7 +41,14 @@ def default_interpret() -> bool:
 
 @functools.cache
 def tpu_generation() -> str:
-    """Best-effort TPU generation string, e.g. 'v5e'."""
+    """Best-effort TPU generation string, e.g. 'v5e'.
+
+    ``TPUL2_GEN`` overrides detection — the supported way for off-TPU
+    tools (interpret-mode correctness sweeps, DB inspection) to address a
+    real generation's tuning DB without pointing TPUL2_TUNEDB at a path."""
+    env = os.environ.get("TPUL2_GEN")
+    if env:
+        return env
     if not on_tpu():
         return "cpu"
     d = jax.devices()[0]
