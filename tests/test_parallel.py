@@ -111,3 +111,18 @@ def test_sharded_matches_single_device():
     loss_single = loss_fn(params, x, y, config=CFG)
     np.testing.assert_allclose(float(loss_sharded), float(loss_single),
                                rtol=2e-2)
+
+
+def test_kshard_scatter_matmul():
+    """reduce_scatter epilogue: result lands N-sharded, numerics exact."""
+    from tpul2.parallel import kshard_scatter_matmul
+
+    mesh = make_mesh(8)
+    m, n, k = 32, 512, 512
+    a, b, truth = _data(m, n, k)
+    ga = shard_array(a, mesh, P(None, "tp"))
+    gb = shard_array(b, mesh, P("tp", None))
+    out = kshard_scatter_matmul(ga, gb, mesh, config=CFG)
+    assert out.shape == (m, n)
+    assert out.sharding.spec == P(None, "tp")
+    assert np.array_equal(np.asarray(out, np.float32), truth)

@@ -86,6 +86,34 @@ def kshard_matmul(a, b, mesh: Mesh, axis: str = "tp",
     return fn(a, b)
 
 
+def kshard_scatter_matmul(a, b, mesh: Mesh, axis: str = "tp",
+                          acc: str = "float32",
+                          config: Optional[KernelConfig] = None):
+    """K sharded with a reduce_scatter epilogue: local partial GEMM, then
+    ``psum_scatter`` over ``axis`` so the output lands N-sharded.
+
+    The Megatron row-parallel output pattern: when the next layer consumes
+    a column-sharded activation anyway, reduce_scatter moves 1/axis_size
+    the bytes of kshard_matmul's allreduce over ICI (allreduce =
+    reduce_scatter + all_gather; this keeps only the half the consumer
+    needs).  a: (M, K) sharded on dim 1; b: (K, N) sharded on dim 0;
+    out: (M, N) sharded on dim 1."""
+    def local(a_blk, b_blk):
+        part = matmul(a_blk, b_blk, acc=acc, config=config,
+                      out_dtype=jnp.float32)
+        out = jax.lax.psum_scatter(part, axis, scatter_dimension=1,
+                                   tiled=True)
+        return out.astype(a_blk.dtype)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return fn(a, b)
+
+
 def sharded_matmul_2d(a, b, mesh: Mesh,
                       m_axis: str = "dp", k_axis: str = "tp",
                       acc: str = "float32",
