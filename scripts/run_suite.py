@@ -450,8 +450,9 @@ def main(argv=None) -> int:
     s.add_argument("--out", type=str, required=True,
                    help="CSV path; may contain {acc}")
     s.add_argument("--detail", type=str, default=None)
-    s.add_argument("--n_requests", type=int, default=20)
-    s.add_argument("--request_ms", type=float, default=40.0)
+    s.add_argument("--n_requests", type=int, default=16)
+    s.add_argument("--request_ms", type=float, default=80.0,
+                   help="per-request chained-program size; must sit well above\n                        the ~30 ms fence floor or rows get quality=floor_limited")
     s.add_argument("--load", type=float, default=1.0,
                    help="offered load as a fraction of capacity "
                         "(gap mean = service estimate / load)")
