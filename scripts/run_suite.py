@@ -124,6 +124,17 @@ def _repair_csv(path: Path, threshold: float = 0.97,
     return dropped
 
 
+def _parse_shapes(spec: str) -> list:
+    """'m,n,k;m,n,k;...' or '@file' (one m,n,k per line, # comments)."""
+    if spec.startswith("@"):
+        lines = Path(spec[1:]).read_text().splitlines()
+        items = [ln.strip() for ln in lines
+                 if ln.strip() and not ln.lstrip().startswith("#")]
+    else:
+        items = spec.split(";")
+    return [tuple(int(x) for x in s.split(",")) for s in items]
+
+
 def pallas_win_band(m: int, n: int, k: int) -> bool:
     """Shapes where per-shape Pallas tiling plausibly beats XLA, from
     round-1 measured evidence (BENCH_NOTES.md): thin contractions (XLA's
@@ -194,8 +205,7 @@ def cmd_eval(args) -> int:
                 print(f"repair[{acc}]: re-evaluating {len(dropped)} tainted "
                       f"rows: {sorted(dropped)}", file=sys.stderr)
     done_sets = {acc: _load_done(p) for acc, p in outs.items()}
-    pool = ([tuple(map(int, s.split(","))) for s in args.shapes.split(";")]
-            if getattr(args, "shapes", None)
+    pool = (_parse_shapes(args.shapes) if getattr(args, "shapes", None)
             else grid(args.dims, args.max_shapes, args.max_elems,
                       order=args.order))
     shapes = [s for s in pool

@@ -220,3 +220,14 @@ def test_eval_explicit_shapes(tmp_path, monkeypatch):
                   "--accs", "float32", "--no_mini_tune",
                   "--out", str(out)])
     assert rc == 0 and calls == []
+
+
+def test_parse_shapes_inline_and_file(tmp_path):
+    assert rs._parse_shapes("64,4096,512;16,8192,8192") == \
+        [(64, 4096, 512), (16, 8192, 8192)]
+    f = tmp_path / "shapes.txt"
+    f.write_text("# comment\n1,4096,4096\n\n64,4096,11008\n")
+    assert rs._parse_shapes(f"@{f}") == [(1, 4096, 4096), (64, 4096, 11008)]
+    # the checked-in serving suite parses
+    shapes = rs._parse_shapes("@scripts/serving_shapes.txt")
+    assert (64, 28672, 8192) in shapes and len(shapes) == 20
