@@ -5,12 +5,12 @@ Prints ONE JSON line:
   {"metric": "geomean_speedup_vs_xla_dot", "value": N, "unit": "x",
    "vs_baseline": N}
 
-The shape suite samples the reference's 10^3 evaluation grid
-({64..16384}^3, SURVEY.md §6) plus LLM-serving skinny shapes: squares for
-MXU saturation, skinny-M for the dispatch/tiling regime where per-shape
-tuning wins.  Each shape: candidate (tuning-DB config, tuned on the fly if
-absent) vs XLA dot_general, offline methodology (fresh on-device data,
-shuffled order, median of many fenced calls).
+The shape suite is a band-stratified sample of the reference's 10^3
+evaluation grid ({64..16384}^3, SURVEY.md §6) — see DEFAULT_SHAPES below
+for the stratification rule.  Each shape: the dispatched library
+(tuning-DB config or derived sentinel; never tuned here) vs XLA
+dot_general, offline methodology (fresh on-device data, shuffled order,
+selection/publication phase split, calibrated rep sizing).
 
 Env knobs: TPUL2_BENCH_SECONDS (per-shape budget, default 3),
 TPUL2_BENCH_SHAPES ("m,n,k;m,n,k;..." override).
@@ -24,27 +24,40 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Stratified sample of the reference's 10^3 evaluation grid (SURVEY.md §6),
+# mirroring its band composition so the 20-shape geomean estimates the
+# full-grid geomean: thin-K (k<=512, max(m,n)>=2048) is 300/1000 shapes ->
+# 6 slots; skinny (one dim <=256, others >=2048) 150/1000 -> 3; squares
+# 10/1000 -> 1; other 540/1000 -> 10.  Members sit at evenly spaced value
+# ranks (min..max) of their band in the round-2 campaign CSV, with
+# internally inconsistent rows (>2x intra-row spread = corrupted
+# measurement) excluded from ranking — both tails included, no
+# cherry-picking.  scripts/aggregate_results.py:band defines the bands.
 DEFAULT_SHAPES = [
-    # squares across the grid
-    (512, 512, 512),
-    (1024, 1024, 1024),
-    (2048, 2048, 2048),
-    (4096, 4096, 4096),
-    (8192, 8192, 8192),
-    # skinny-M LLM serving shapes (the reference's headline win region)
-    (64, 4096, 4096),
-    (64, 8192, 8192),
-    (128, 4096, 11008),
-    (16, 8192, 8192),
-    # tall/odd shapes
-    (4096, 64, 4096),
-    (8192, 128, 8192),
-    (2048, 8192, 512),
-    # thin-K band (~27% of the reference 10^3 grid has a 64-dim; XLA's
-    # tiling degrades on sub-lane contractions)
-    (512, 512, 64),
-    (4096, 512, 512),
+    # thin-K (6)
+    (8192, 128, 64),
+    (12288, 64, 64),
+    (2048, 512, 64),
+    (2048, 128, 512),
     (64, 4096, 512),
+    (64, 8192, 64),
+    # skinny, large-K (3)
+    (64, 4096, 4096),
+    (8192, 128, 8192),
+    (64, 8192, 8192),
+    # square (1)
+    (256, 256, 256),
+    # other (10)
+    (64, 64, 4096),
+    (64, 256, 8192),
+    (512, 128, 64),
+    (256, 64, 256),
+    (128, 64, 4096),
+    (64, 64, 12288),
+    (1024, 128, 64),
+    (128, 1024, 256),
+    (1024, 256, 128),
+    (1024, 64, 64),
 ]
 
 
