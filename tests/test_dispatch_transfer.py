@@ -1,0 +1,59 @@
+"""Dispatch-time neighbor transfer for untuned shapes."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpul2.autotune.db import TuneDB
+from tpul2.config import KernelConfig
+from tpul2.dispatch import _neighbor_config, matmul
+
+
+def test_neighbor_win_adapts(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 2048, 64, KernelConfig(bm=64, bn=2048, bk=64), tflops=5.0,
+           extra={"speedup_vs_xla": 1.4})
+    cfg = _neighbor_config(db, 64, 4096, 64, "float32", jnp.bfloat16)
+    assert cfg is not None and not cfg.use_xla
+    assert cfg.bk == 64  # full-dim K semantics carried over
+
+
+def test_neighbor_noise_win_degrades_to_sentinel(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 2048, 64, KernelConfig(bm=64, bn=2048, bk=64), tflops=5.0,
+           extra={"speedup_vs_xla": 1.01})  # within noise
+    cfg = _neighbor_config(db, 64, 4096, 64, "float32", jnp.bfloat16)
+    assert cfg is not None and cfg.use_xla
+
+
+def test_sentinel_neighbor_transfers_variant(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(512, 512, 256, KernelConfig.xla("highest_tn"), tflops=1.0,
+           extra={"speedup_vs_xla": 1.1})
+    cfg = _neighbor_config(db, 512, 512, 128, "float32", jnp.bfloat16)
+    assert cfg is not None and cfg.use_xla
+    assert cfg.xla_variant == "highest_tn"
+
+
+def test_distant_shapes_get_no_neighbor(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 64, 64, KernelConfig(bm=64, bn=64, bk=64), tflops=1.0,
+           extra={"speedup_vs_xla": 1.2})
+    assert _neighbor_config(db, 64, 8192, 64, "float32",
+                            jnp.bfloat16) is None
+
+
+def test_matmul_numerics_through_neighbor_path(tmp_path, monkeypatch):
+    """End-to-end: an untuned shape dispatching an adapted neighbor config
+    stays bit-exact on 0/1 inputs."""
+    import tpul2.autotune.db as dbm
+
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 256, 128, KernelConfig(bm=64, bn=256, bk=128), tflops=5.0,
+           extra={"speedup_vs_xla": 1.3})
+    monkeypatch.setattr(dbm, "_default_db", db)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2, (64, 128)), jnp.bfloat16)
+    b = jnp.asarray(rng.integers(0, 2, (128, 512)), jnp.bfloat16)  # untuned n
+    out = matmul(a, b, out_dtype=jnp.float32)
+    truth = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+    assert np.array_equal(np.asarray(out), truth)

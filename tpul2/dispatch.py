@@ -27,12 +27,53 @@ from tpul2.ops.matmul import pallas_matmul
 
 def resolve_config(m: int, n: int, k: int, acc: str = "float32",
                    in_dtype=jnp.bfloat16) -> KernelConfig:
-    """Tuning-DB lookup → heuristic fallback (never fails)."""
+    """Tuning-DB lookup → neighbor transfer → heuristic (never fails).
+
+    The middle step has no reference counterpart (a missing .cu file there
+    means no kernel at all): an untuned shape inherits the adapted config
+    of its nearest tuned neighbor — a Pallas winner only when it won by a
+    real margin (>=5%), the neighbor's sentinel variant otherwise — so
+    tuned performance generalizes off-grid.  Distant shapes (beyond 2x on
+    any dim) use the static heuristic as before."""
     from tpul2.autotune.db import default_db
-    cfg = default_db().get(m, n, k, acc, in_dtype)
+    db = default_db()
+    cfg = db.get(m, n, k, acc, in_dtype)
+    if cfg is not None:
+        return cfg
+    cfg = _neighbor_config(db, m, n, k, acc, in_dtype)
     if cfg is not None:
         return cfg
     return heuristic_config(m, n, k, acc, in_dtype)
+
+
+def _neighbor_config(db, m, n, k, acc, in_dtype,
+                     max_ratio: float = 2.0,
+                     min_speedup: float = 1.05) -> Optional[KernelConfig]:
+    """Nearest tuned neighbor's config, adapted to (m, n, k), or None."""
+    import math
+
+    best = None
+    for (em, en, ek), entry in db.entries_for(acc, in_dtype):
+        ratios = (max(em, m) / min(em, m), max(en, n) / min(en, n),
+                  max(ek, k) / min(ek, k))
+        if max(ratios) > max_ratio:
+            continue
+        dist = sum(abs(math.log(r)) for r in ratios)
+        if best is None or dist < best[0]:
+            best = (dist, (em, en, ek), entry)
+    if best is None:
+        return None
+    _, src, entry = best
+    cfg = KernelConfig(**entry["config"])
+    if cfg.use_xla:
+        return cfg
+    if entry.get("speedup_vs_xla", 1.0) < min_speedup:
+        # the neighbor's Pallas win was within noise — parity is better
+        # served by the sentinel than by an unproven adapted tiling
+        return KernelConfig.xla(entry.get("config", {}).get(
+            "xla_variant") or "matmul")
+    from tpul2.autotune.transfer import _adapt
+    return _adapt(cfg, src, (m, n, k), in_dtype)
 
 
 def matmul(a: jax.Array, b: jax.Array, *,
