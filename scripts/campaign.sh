@@ -6,11 +6,12 @@
 # free).  Per-shape failures are recorded in the .failures sidecar and
 # skipped (see run_suite.py cmd_eval).
 #
-# Usage: scripts/campaign.sh [log_file] [chunk_size]
+# Usage: scripts/campaign.sh [log_file] [chunk_size] [extra run_suite args...]
 set -u
 cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/campaign.log}"
 CHUNK="${2:-100}"
+shift $(( $# > 2 ? 2 : $# ))
 # single-instance lock: two concurrent campaign loops would contend the
 # TPU (corrupting every measurement) and interleave duplicate CSV rows
 exec 9>/tmp/tpul2_campaign.lock
@@ -23,7 +24,7 @@ for i in $(seq 1 60); do
   timeout 5400 python scripts/run_suite.py eval \
     --accs float32 bfloat16 \
     --out 'eval_results/tpul2_v5e_{acc}_speedup_offline.csv' \
-    --chunk_shapes "$CHUNK" >> "$LOG" 2>&1
+    --chunk_shapes "$CHUNK" "$@" >> "$LOG" 2>&1
   rc=$?
   echo "=== chunk $i rc=$rc $(date -u +%H:%M:%S) ===" >> "$LOG"
   if tail -n 200 "$LOG" | grep -q "evaluating 0 shapes"; then

@@ -85,33 +85,55 @@ def _load_done(path: Path) -> set:
 
 
 def _repair_csv(path: Path, threshold: float = 0.97,
-                ratio_cap: float = 2.5) -> set:
+                ratio_cap: float = 2.5, max_loss_repairs: int = 1) -> set:
     """Drop tainted rows from a campaign CSV so they are re-evaluated.
 
-    Tainted = the candidate lost to ``jnp.matmul`` beyond the noise band
-    (< threshold — the never-lose contract says a healthy row can't), lost
-    >10% to ANY column (the derived AutoTuned columns carry ~2sigma more
-    noise than single formulations, so only a hard floor avoids re-eval
-    churn on honest ~0.95 rows), or the columns are internally
-    inconsistent (max/min > ratio_cap: the XLA formulations are
-    near-identical programs, so a 2.5x spread inside one row means a
-    corrupted measurement, e.g. a recompile or fence stall landed inside
-    one column's trials).  Runs at chunk start, before the CSV is opened
-    for append; the re-eval then goes through the heal_entries_from_eval
-    never-lose path.  Returns the dropped mnks."""
+    Two taint classes, with different retry policies (ADVICE r2 medium #2:
+    an unbounded retry-until-win loop on loss rows censors the noise
+    distribution, making 'zero losses' partly selection bias):
+
+      loss taint — the candidate lost to ``jnp.matmul`` beyond the noise
+        band (< threshold) or >10% to ANY column.  A row is re-measured
+        for loss AT MOST ``max_loss_repairs`` times (journaled per-mnk in
+        ``<csv>.repairs.json``); the re-measurement publishes
+        unconditionally — a row still below threshold after its repair
+        budget stays in the artifact as an honest loss.
+      inconsistency taint — columns internally inconsistent (max/min >
+        ratio_cap: the XLA formulations are near-identical programs, so a
+        2.5x spread inside one row means a corrupted measurement, e.g. a
+        recompile or fence stall landed inside one column's trials).
+        Always dropped — these are invalid measurements, not unfavorable
+        draws (still journaled, so churn is visible).
+
+    Runs at chunk start, before the CSV is opened for append; re-evals go
+    through the heal_entries_from_eval never-lose path.  Returns the
+    dropped mnks."""
+    import json as _json
+
     if not path.exists():
         return set()
     with path.open() as f:
         rows = list(csv.DictReader(f))
     if not rows:
         return set()
+    journal_path = Path(str(path) + ".repairs.json")
+    journal = (_json.loads(journal_path.read_text())
+               if journal_path.exists() else {})
     fieldnames = list(rows[0].keys())
     dropped = set()
     for r in rows:
-        vals = [float(v) for c, v in r.items() if c != "mnk" and v]
-        if vals and (float(r["jnp.matmul"]) < threshold
-                     or min(vals) < 0.90
-                     or max(vals) / min(vals) > ratio_cap):
+        vals = [float(v) for c, v in r.items()
+                if c != "mnk" and c not in SERVER_EXTRA_COLUMNS and v]
+        if not vals:
+            continue
+        inconsistent = max(vals) / min(vals) > ratio_cap
+        lossy = float(r["jnp.matmul"]) < threshold or min(vals) < 0.90
+        rec = journal.setdefault(r["mnk"], {"loss": 0, "inconsistent": 0})
+        if inconsistent:
+            rec["inconsistent"] += 1
+            dropped.add(r["mnk"])
+        elif lossy and rec["loss"] < max_loss_repairs:
+            rec["loss"] += 1
             dropped.add(r["mnk"])
     if dropped:
         keep = [r for r in rows if r["mnk"] not in dropped]
@@ -121,7 +143,29 @@ def _repair_csv(path: Path, threshold: float = 0.97,
             w.writeheader()
             w.writerows(keep)
         tmp.replace(path)
+        journal_path.write_text(_json.dumps(journal, indent=1,
+                                            sort_keys=True))
     return dropped
+
+
+def _load_failures(detail: Path, max_attempts: int = 2) -> set:
+    """mnks recorded ≥max_attempts times in the .failures sidecar.
+
+    ADVICE r2 low #4: without this, a permanently infeasible shape is
+    retried every chunk and the campaign's 'evaluating 0 shapes'
+    completion check can never fire.  One recorded failure still gets a
+    retry (transient TPU-session errors are common); repeat offenders are
+    treated as done, mirroring the reference 3090 CSV's omission of its
+    infeasible shapes (SURVEY.md §6)."""
+    sidecar = detail.with_suffix(".failures")
+    if not sidecar.exists():
+        return set()
+    counts: dict = {}
+    for line in sidecar.read_text().splitlines():
+        mnk = line.split("\t", 1)[0].strip()
+        if mnk:
+            counts[mnk] = counts.get(mnk, 0) + 1
+    return {mnk for mnk, c in counts.items() if c >= max_attempts}
 
 
 def _parse_shapes(spec: str) -> list:
@@ -204,7 +248,11 @@ def cmd_eval(args) -> int:
             if dropped:
                 print(f"repair[{acc}]: re-evaluating {len(dropped)} tainted "
                       f"rows: {sorted(dropped)}", file=sys.stderr)
-    done_sets = {acc: _load_done(p) for acc, p in outs.items()}
+    failed = _load_failures(detail)
+    if failed:
+        print(f"skipping {len(failed)} repeat-failure shapes from "
+              f"{detail.with_suffix('.failures').name}", file=sys.stderr)
+    done_sets = {acc: _load_done(p) | failed for acc, p in outs.items()}
     pool = (_parse_shapes(args.shapes) if getattr(args, "shapes", None)
             else grid(args.dims, args.max_shapes, args.max_elems,
                       order=args.order))
@@ -340,9 +388,12 @@ def cmd_eval_server(args) -> int:
     detail = Path(args.detail or
                   str(next(iter(outs.values()))).replace(".csv",
                                                          "_detail.jsonl"))
-    done_sets = {acc: _load_done(p) for acc, p in outs.items()}
-    shapes = [s for s in grid(args.dims, args.max_shapes, args.max_elems,
-                              order=args.order)
+    failed = _load_failures(detail)
+    done_sets = {acc: _load_done(p) | failed for acc, p in outs.items()}
+    pool = (_parse_shapes(args.shapes) if getattr(args, "shapes", None)
+            else grid(args.dims, args.max_shapes, args.max_elems,
+                      order=args.order))
+    shapes = [s for s in pool
               if any(f"{s[0]}x{s[1]}x{s[2]}" not in done_sets[acc]
                      for acc in accs)]
     if args.chunk_shapes:
@@ -468,6 +519,10 @@ def main(argv=None) -> int:
                         "(gap mean = service estimate / load)")
     s.add_argument("--chunk_shapes", type=int, default=None)
     s.add_argument("--order", choices=["lex", "cost"], default="cost")
+    s.add_argument("--shapes", type=str, default=None,
+                   help="explicit 'm,n,k;...' or '@file' list evaluated "
+                        "INSTEAD of the dims grid (e.g. the stratified "
+                        "server sample)")
     s.add_argument("--fail_fast", action="store_true")
     s.set_defaults(fn=cmd_eval_server)
 

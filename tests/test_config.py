@@ -146,12 +146,17 @@ def test_xla_variant_sentinels_in_candidates():
         cands = candidate_configs(512, 512, 512, acc_dtype=acc)
         sentinels = {c.xla_variant for c in cands if c.use_xla}
         assert sentinels == set(XLA_VARIANTS_FOR_ACC[acc])
-    # sameacc variants compete in BOTH families — the exactness screen,
-    # not the accumulator annotation, enforces the family contract (the
-    # reference's fp32 zoo likewise ships gate-passing F16-atom kernels)
+    # ADVICE r2 medium #1: the float32 family admits only f32-accumulating
+    # formulations (a sameacc dot emits a bf16 result, so it cannot honor
+    # matmul(acc="float32", out_dtype=f32)); bf16 admits every variant.
     f32_sent = {c.xla_variant
                 for c in candidate_configs(512, 512, 512) if c.use_xla}
-    assert any(v.startswith("sameacc") for v in f32_sent)
+    assert not any(v.startswith("sameacc") for v in f32_sent)
+    bf16_sent = {c.xla_variant
+                 for c in candidate_configs(512, 512, 512,
+                                            acc_dtype="bfloat16")
+                 if c.use_xla}
+    assert any(v.startswith("sameacc") for v in bf16_sent)
 
 
 def test_xla_variant_validation_and_roundtrip():

@@ -7,8 +7,10 @@ from tpul2.harness.bench_suite import heal_entries_from_eval
 
 
 def _res(cand_speedup, ms=None):
-    ms = ms or {"xla_matmul": 1.0, "xla_dot_nn": 1.02, "xla_dot_tn": 0.95,
-                "xla_highest_nn": 1.01, "xla_highest_tn": 0.97,
+    # default fixture: every published column within the noise band of
+    # jnp.matmul (the candidate's fate is decided by cand_speedup alone)
+    ms = ms or {"xla_matmul": 1.0, "xla_dot_nn": 1.02, "xla_dot_tn": 0.99,
+                "xla_highest_nn": 1.01, "xla_highest_tn": 0.995,
                 "xla_sameacc_nn": 1.10, "xla_sameacc_tn": 1.11}
     per_func = {name: {"ms": v, "iqr_ms": 0.0, "tflops": 1.0 / v}
                 for name, v in ms.items()}
@@ -32,7 +34,7 @@ def test_demotes_losing_pallas_entry(tmp_path):
     entry = db.get_entry(64, 2048, 1024, "float32")
     cfg = entry["config"]
     assert cfg["use_xla"]
-    # fastest screened variant wins (dot_tn at 0.95 ms in the fixture)
+    # fastest screened variant wins (dot_tn at 0.99 ms in the fixture)
     assert cfg["xla_variant"] == "dot_tn"
     assert entry["demoted_from"]["bm"] == 32
     assert entry["scope"] == "heal_demote"
@@ -64,6 +66,25 @@ def test_refreshes_bogus_sentinel_bookkeeping(tmp_path):
     # rewritten from phase-2 medians: matmul 1.0 / dot_nn 1.02
     assert abs(entry["speedup_vs_xla"] - 1.0 / 1.02) < 1e-9
     assert entry["speedup_vs_xla"] < 1.1
+
+
+def test_loss_to_published_column_heals(tmp_path):
+    # VERDICT r2 next-round #2: the never-lose contract gates on EVERY
+    # published column, not just jnp.matmul — a candidate at parity with
+    # matmul but >2% behind XLA-dot-tn (which feeds the -max columns)
+    # must be demoted to that faster variant.
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(256, 4096, 512, KernelConfig.xla("dot_nn"), tflops=50.0,
+           extra={"speedup_vs_xla": 1.0})
+    ms = {"xla_matmul": 1.0, "xla_dot_nn": 1.0, "xla_dot_tn": 0.94,
+          "xla_highest_nn": 1.01, "xla_highest_tn": 0.97,
+          "xla_sameacc_nn": 1.10, "xla_sameacc_tn": 1.11}
+    res = _res(cand_speedup=1.0, ms=ms)
+    demoted = heal_entries_from_eval(db, 256, 4096, 512, ["float32"],
+                                     jnp.bfloat16, res)
+    assert demoted == ["float32"]
+    assert db.get_entry(256, 4096, 512, "float32")["config"]["xla_variant"] \
+        == "dot_tn"
 
 
 def test_winning_pallas_entry_untouched(tmp_path):

@@ -148,3 +148,72 @@ def test_tn_grad():
     da, dbt = jax.grad(loss, argnums=(0, 1))(a, bt)
     np.testing.assert_allclose(np.asarray(da), 128.0)
     np.testing.assert_allclose(np.asarray(dbt), 16.0)
+
+
+# ---- round-3 masked-edge mode (edge='mask': in-kernel predication) ----
+
+@pytest.mark.parametrize("shape,cfg_kw", [
+    # K-tail masking, multi-k path (k=300 -> blocks 128/128/44-valid)
+    ((100, 200, 300), dict(bm=64, bn=128, bk=128)),
+    # single-k masked path (bk=128 > k=100)
+    ((64, 128, 100), dict(bm=64, bn=128, bk=128)),
+    # all three dims unaligned + both grid orders via param below
+    ((130, 260, 515), dict(bm=64, bn=128, bk=256)),
+])
+@pytest.mark.parametrize("order", ["mn", "nm"])
+def test_masked_edge_exact(shape, cfg_kw, order):
+    m, n, k = shape
+    cfg = KernelConfig(edge="mask", grid_order=order, **cfg_kw)
+    a, b = _mk(m, n, k)
+    out = pallas_matmul(a, b, cfg, out_dtype=jnp.float32)
+    assert out.shape == (m, n)
+    np.testing.assert_array_equal(np.asarray(out), _ref(a, b))
+
+
+def test_masked_edge_tn_layout():
+    m, n, k = 100, 200, 300
+    cfg = KernelConfig(bm=64, bn=128, bk=128, edge="mask",
+                       rhs_layout="nk")
+    a, b = _mk(m, n, k)
+    from tpul2.ops.matmul import pallas_matmul_tn
+    bt = jnp.asarray(np.asarray(b).T)
+    out = pallas_matmul_tn(a, bt, config=cfg, out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), _ref(a, b))
+
+
+def test_masked_edge_matches_padded_mode():
+    # mask and pad are the same math: bit-identical outputs
+    import dataclasses
+    m, n, k = 72, 190, 333
+    cfg = KernelConfig(bm=32, bn=128, bk=128)
+    a, b = _mk(m, n, k)
+    out_pad = pallas_matmul(a, b, cfg, out_dtype=jnp.float32)
+    out_mask = pallas_matmul(a, b, dataclasses.replace(cfg, edge="mask"),
+                             out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_pad), np.asarray(out_mask))
+
+
+def test_masked_edge_fused_epilogue_and_grad():
+    m, n, k = 96, 200, 260
+    cfg = KernelConfig(bm=32, bn=128, bk=128, edge="mask")
+    a, b = _mk(m, n, k)
+    bias = jnp.asarray(np.linspace(-1, 1, n), jnp.float32)
+    from tpul2.ops.matmul import pallas_matmul_fused
+    out = pallas_matmul_fused(a, b, bias=bias, activation="relu",
+                              config=cfg, out_dtype=jnp.float32)
+    ref = np.maximum(_ref(a, b) + np.asarray(bias, np.float32), 0.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=0)
+    # custom-vjp backward works for the masked forward too
+    g = jax.grad(lambda x: pallas_matmul_fused(
+        x, b, bias=bias, activation="relu", config=cfg,
+        out_dtype=jnp.float32).sum())(a)
+    assert g.shape == a.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_masked_edge_in_candidate_space():
+    from tpul2.config import candidate_configs
+    # unaligned shape: masked variants must compete; aligned: must not
+    cands = candidate_configs(100, 200, 300)
+    assert any(c.edge == "mask" for c in cands if not c.use_xla)
+    aligned = candidate_configs(256, 256, 256)
+    assert all(c.edge == "pad" for c in aligned if not c.use_xla)

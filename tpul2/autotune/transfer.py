@@ -21,7 +21,6 @@ from typing import Optional
 import jax.numpy as jnp
 
 from tpul2.config import KernelConfig, assign_vmem_limit
-from tpul2.utils.padding import LANE, min_sublane
 
 
 def _adapt(cfg: KernelConfig, src: tuple, dst: tuple,
@@ -33,9 +32,14 @@ def _adapt(cfg: KernelConfig, src: tuple, dst: tuple,
     carries over.  Returns None if the adapted config is invalid."""
     sm, sn, sk = src
     m, n, k = dst
-    sub = min_sublane(in_dtype)
 
-    def fit(block, src_dim, dst_dim, align):
+    def fit(block, src_dim, dst_dim):
+        # Full-dim returns (all three branches below) satisfy validate()'s
+        # full-dim alignment exception (block == problem dim ⇒ Mosaic lays
+        # the dim out in one internally-padded tile); carried blocks keep
+        # the source config's alignment, so no explicit rounding is needed
+        # here (ADVICE r2 low #3: the former align/sublane parameters were
+        # dead weight).
         if block == src_dim or block > dst_dim:
             return dst_dim  # full-dim semantics transfer
         if dst_dim % block:
@@ -47,9 +51,9 @@ def _adapt(cfg: KernelConfig, src: tuple, dst: tuple,
 
     adapted = dataclasses.replace(
         cfg,
-        bm=fit(cfg.bm, sm, m, sub),
-        bn=fit(cfg.bn, sn, n, LANE),
-        bk=fit(cfg.bk, sk, k, LANE),
+        bm=fit(cfg.bm, sm, m),
+        bn=fit(cfg.bn, sn, n),
+        bk=fit(cfg.bk, sk, k),
         vmem_limit_bytes=None,
     )
     adapted = assign_vmem_limit(adapted, m, n, k, in_dtype)

@@ -71,24 +71,29 @@ VMEM_LIMIT_FLOOR = 32 * 1024 * 1024
 XLA_VARIANTS = ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
                 "sameacc_nn", "sameacc_tn")
 
-#: Sentinel variants competing in each accumulator family.  ALL variants
-#: compete in BOTH families: the family contract is enforced by the
-#: exactness screen (0/1 inputs, diff == 0 vs f32 truth), not by the
-#: accumulator annotation — a sameacc dot that XLA lowers to one MXU pass
-#: accumulates f32 in hardware and is bit-identical to the preferred-f32
-#: formulation, while one that splits K into rounded partials fails the
-#: screen and is rejected.  Same stance as the reference, whose "fp32" zoo
-#: ships 51 kernels built on F16-accumulator MMA atoms that pass its gate
-#: (SURVEY.md §2 C9, kernels/a100_F32F16F16F32).
+#: Sentinel variants competing in each accumulator family.  The float32
+#: family (reference F32F16F16F32: C accumulated AND delivered in f32) may
+#: only dispatch formulations that produce the f32-accumulated product —
+#: a sameacc dot emits a bf16 result, so a public
+#: ``matmul(acc="float32", out_dtype=jnp.float32)`` through it would return
+#: values rounded through bf16, violating the family contract (ADVICE r2
+#: medium #1).  The 0/1 exactness screen cannot carry this restriction by
+#: itself: with sums kept ≤256 every bf16 partial is an exact integer, so
+#: the screen is vacuous there; the variant set is the enforcement, the
+#: screen (now acc-based, sums up to 2^24 for f32) is defense in depth.
+#: The bfloat16 family (F16F16F16F16 analogue) admits every formulation.
 XLA_VARIANTS_FOR_ACC = {
-    "float32": XLA_VARIANTS,
+    "float32": ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn"),
     "bfloat16": XLA_VARIANTS,
 }
 
 #: Candidate-space revision, stamped into TuneDB entries (with the timing
 #: revision) so campaigns can re-tune entries produced by an older, narrower
 #: space.  1 = round-1 tile space; 2 = VMEM-lift + full-dim blocks;
-#: 3 = XLA-variant sentinels (incl. sameacc in the f32 family).
+#: 3 = XLA-variant sentinels.  The round-3 masked-edge axis does NOT bump
+#: the revision: on block-dividing (grid) shapes mask ≡ pad, so existing
+#: entries are not stale — the axis only widens the space for unaligned
+#: off-grid shapes.
 SPACE_REV = 3
 
 
@@ -114,6 +119,17 @@ class KernelConfig:
     #: kernels/a100_F32F16F16F32/4096_4096_4096.cu:292-309).  The harness
     #: provides both layouts; dispatch picks per tuned config.
     rhs_layout: str = "kn"
+    #: Edge handling for problem dims the blocks don't divide:
+    #: 'pad'  — caller-side zero-pad copy + output slice (the reference's
+    #:          design choice, SURVEY.md C3: tools/utils.py pads to tile
+    #:          multiples before launch);
+    #: 'mask' — in-kernel predication (round 3): the grid is cdiv-sized,
+    #:          out-of-bounds output stores are dropped by Pallas block
+    #:          masking, and the K-tail of the last k step is zeroed
+    #:          in-kernel — no HBM padding round trip on A/B and no output
+    #:          slice copy, without forcing full-dim blocks on unaligned
+    #:          dims (VERDICT r2 next-round #3a).
+    edge: str = "pad"
     #: Optional VMEM cap handed to the Mosaic compiler; None = compiler default.
     vmem_limit_bytes: Optional[int] = None
     #: Sentinel: skip the Pallas kernel, call XLA dot_general.
@@ -208,8 +224,15 @@ class KernelConfig:
             if self.xla_variant not in XLA_VARIANTS:
                 return f"unknown xla_variant {self.xla_variant}"
             return None
+        if self.edge not in ("pad", "mask"):
+            return f"bad edge {self.edge}"
         m, n, k = shape if shape is not None else (None, None, None)
         sub = min_sublane(in_dtype)
+        # Blocks must be physically aligned VMEM tiles in BOTH edge modes
+        # (a full-dim block is always allowed — one internally-padded
+        # tile); what 'mask' changes is that blocks need not DIVIDE the
+        # problem dims, since the forward path skips the caller-side
+        # zero-pad copy and predicates the edges in-kernel instead.
         if self.bm % sub and self.bm != m:
             return f"bm={self.bm} not a multiple of sublane {sub}"
         if self.bn % LANE and self.bn != n:
@@ -362,21 +385,31 @@ def candidate_configs(m: int, n: int, k: int,
             for bk in bks:
                 for order in ("mn", "nm"):
                     for rhs in ("kn", "nk"):
-                        cfg = assign_vmem_limit(
-                            KernelConfig(bm=bm, bn=bn, bk=bk,
-                                         acc_dtype=acc_dtype,
-                                         grid_order=order,
-                                         rhs_layout=rhs),
-                            m, n, k, in_dtype)
-                        if cfg is None or cfg in seen:
-                            continue
-                        if cfg.validate(in_dtype, budget,
-                                        shape=(m, n, k)) is not None:
-                            continue
-                        if cfg.padding_waste(m, n, k) > 0.6:
-                            continue
-                        seen.add(cfg)
-                        out.append(cfg)
+                        # Round-3 edge axis (VERDICT r2 #3a): when a block
+                        # does not divide its problem dim, the in-kernel
+                        # masked variant competes alongside caller-side
+                        # padding — it skips the HBM pad round trip and
+                        # the output slice at the cost of predicating the
+                        # K-tail.  On dividing tilings the two modes are
+                        # the same program; only 'pad' is emitted.
+                        edges = ("pad", "mask") if (
+                            m % bm or n % bn or k % bk) else ("pad",)
+                        for edge in edges:
+                            cfg = assign_vmem_limit(
+                                KernelConfig(bm=bm, bn=bn, bk=bk,
+                                             acc_dtype=acc_dtype,
+                                             grid_order=order,
+                                             rhs_layout=rhs, edge=edge),
+                                m, n, k, in_dtype)
+                            if cfg is None or cfg in seen:
+                                continue
+                            if cfg.validate(in_dtype, budget,
+                                            shape=(m, n, k)) is not None:
+                                continue
+                            if cfg.padding_waste(m, n, k) > 0.6:
+                                continue
+                            seen.add(cfg)
+                            out.append(cfg)
 
     def prior(c: KernelConfig) -> tuple:
         # Prefer low padding waste, then larger blocks (fewer grid steps,

@@ -129,6 +129,8 @@ def _to_kernel_config(c: TL2Config):
         grid_order="mn" if c.grid_order == 0 else "nm",
         parallel_mn=bool(c.flags & 2),
         rhs_layout="nk" if c.flags & 4 else "kn",
+        # bit 6: round-3 masked-edge mode (unset on older sidecars = 'pad')
+        edge="mask" if c.flags & 64 else "pad",
         vmem_limit_bytes=int(c.vmem_limit) if c.vmem_limit else None,
     )
 
@@ -136,7 +138,8 @@ def _to_kernel_config(c: TL2Config):
 def _from_kernel_config(cfg, acc: str, tflops: float = 0.0) -> TL2Config:
     from tpul2.config import XLA_VARIANTS
     flags = ((1 if cfg.use_xla else 0) | (2 if cfg.parallel_mn else 0)
-             | (4 if cfg.rhs_layout == "nk" else 0))
+             | (4 if cfg.rhs_layout == "nk" else 0)
+             | (64 if getattr(cfg, "edge", "pad") == "mask" else 0))
     if cfg.use_xla:
         flags |= XLA_VARIANTS.index(cfg.xla_variant) << 3
     return TL2Config(cfg.bm, cfg.bn, cfg.bk,

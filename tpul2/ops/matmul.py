@@ -13,10 +13,20 @@ across the K steps (the role of the register-file accumulator fragments).
 The epilogue casts the accumulator to the output dtype on the final K step
 (the role of the smem-staged r2s→s2g epilogue, ibid.:143-176).
 
-Shape contract (mirrors reference caller-side padding, SURVEY.md C3):
-inputs of ANY shape are zero-padded here to block multiples and the output
-sliced back — never in-kernel predication, same design choice as the
-reference.
+Shape contract (SURVEY.md C3) — two edge modes, selected per tuned config:
+  edge='pad'  — inputs zero-padded to block multiples and the output sliced
+                back (the reference's design choice: caller-side padding,
+                tools/utils.py);
+  edge='mask' — in-kernel predication (VERDICT r2 next-round #3a): the grid
+                is cdiv-sized over the RAW problem dims, Pallas drops
+                out-of-bounds output stores on the partial M/N edge blocks,
+                and the K-tail of the final k step is zeroed in-kernel
+                before it reaches the MXU (out-of-bounds HBM reads are
+                undefined, and 0·garbage would still poison the
+                accumulator if the garbage is non-finite — both operands'
+                tails are masked).  No padding round trip over HBM, no
+                output slice copy, and unaligned dims no longer force
+                full-dim blocks.
 """
 
 from __future__ import annotations
@@ -66,9 +76,29 @@ def _block_dot(a_blk, b_blk, rhs_nk: bool):
     return jnp.dot(a_blk, b_blk, preferred_element_type=jnp.float32)
 
 
+def _masked_block_dot(a_blk, b_blk, rhs_nk: bool, k_rem: int):
+    """Block product with the K-tail zeroed (edge='mask', final k step).
+
+    The K-edge is the one edge Pallas's out-of-bounds store masking cannot
+    cover: garbage loaded past K contaminates VALID output rows/cols.
+    Both operands are masked — a_tail·garbage would still be 0·NaN = NaN
+    if only one side were zeroed.  k_rem is STATIC (the final block's
+    valid width), so the mask lowers to a compile-time-shaped select on
+    the VPU, negligible next to the MXU block product."""
+    ka = jax.lax.broadcasted_iota(jnp.int32, a_blk.shape, 1) < k_rem
+    a_blk = jnp.where(ka, a_blk, jnp.zeros_like(a_blk))
+    k_dim = 1 if rhs_nk else 0
+    kb = jax.lax.broadcasted_iota(jnp.int32, b_blk.shape, k_dim) < k_rem
+    b_blk = jnp.where(kb, b_blk, jnp.zeros_like(b_blk))
+    return _block_dot(a_blk, b_blk, rhs_nk)
+
+
 def _kernel_multi_k(a_ref, b_ref, *rest, acc_dtype, out_dtype, has_bias,
-                    activation, rhs_nk=False):
-    """Grid step with K-accumulation carry (grid_k > 1)."""
+                    activation, rhs_nk=False, k_rem=None):
+    """Grid step with K-accumulation carry (grid_k > 1).
+
+    k_rem (static) is the valid width of the FINAL K block when edge='mask'
+    and bk does not divide K; interior steps run the unmasked fast path."""
     if has_bias:
         bias_ref, o_ref, acc_ref = rest
     else:
@@ -79,18 +109,32 @@ def _kernel_multi_k(a_ref, b_ref, *rest, acc_dtype, out_dtype, has_bias,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # MXU: one block product, f32 MACs.
-    part = _block_dot(a_ref[:], b_ref[:], rhs_nk)
-    acc_ref[:] = (acc_ref[:].astype(jnp.float32) + part).astype(acc_dtype)
+    last = k == pl.num_programs(2) - 1
+    if k_rem is None:
+        # MXU: one block product, f32 MACs.
+        part = _block_dot(a_ref[:], b_ref[:], rhs_nk)
+        acc_ref[:] = (acc_ref[:].astype(jnp.float32) + part).astype(acc_dtype)
+    else:
+        @pl.when(jnp.logical_not(last))
+        def _interior():
+            part = _block_dot(a_ref[:], b_ref[:], rhs_nk)
+            acc_ref[:] = (acc_ref[:].astype(jnp.float32)
+                          + part).astype(acc_dtype)
 
-    @pl.when(k == pl.num_programs(2) - 1)
+        @pl.when(last)
+        def _edge():
+            part = _masked_block_dot(a_ref[:], b_ref[:], rhs_nk, k_rem)
+            acc_ref[:] = (acc_ref[:].astype(jnp.float32)
+                          + part).astype(acc_dtype)
+
+    @pl.when(last)
     def _epilogue():
         acc = acc_ref[:].astype(jnp.float32)
         o_ref[:] = _apply_epilogue(acc, bias_ref, activation).astype(out_dtype)
 
 
 def _kernel_single_k(a_ref, b_ref, *rest, out_dtype, has_bias, activation,
-                     rhs_nk=False):
+                     rhs_nk=False, k_rem=None):
     """Grid step when the whole K dimension fits one block: no carry, no
     scratch — the analogue of the reference's hand-rolled small-shape WMMA
     kernels (SURVEY.md C9, e.g. kernels/h100_F32F16F16F32/64_64_64.cu)."""
@@ -98,16 +142,29 @@ def _kernel_single_k(a_ref, b_ref, *rest, out_dtype, has_bias, activation,
         bias_ref, o_ref = rest
     else:
         (o_ref,), bias_ref = rest, None
-    acc = _block_dot(a_ref[:], b_ref[:], rhs_nk)
+    if k_rem is None:
+        acc = _block_dot(a_ref[:], b_ref[:], rhs_nk)
+    else:
+        acc = _masked_block_dot(a_ref[:], b_ref[:], rhs_nk, k_rem)
     o_ref[:] = _apply_epilogue(acc, bias_ref, activation).astype(out_dtype)
 
 
 def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
                 in_dtype, out_dtype, interpret: bool,
                 has_bias: bool = False, activation=None):
-    """Assemble the pallas_call for an already-padded (mp, np_, kp) problem."""
+    """Assemble the pallas_call for an (mp, np_, kp) problem.
+
+    With edge='pad' the dims arrive pre-padded to block multiples (grid
+    divides exactly); with edge='mask' they are the RAW problem dims — the
+    grid is cdiv-sized, partial M/N edge blocks rely on Pallas's
+    out-of-bounds store masking, and the K-tail is zeroed in-kernel
+    (``k_rem``)."""
+    from tpul2.utils.padding import cdiv
     bm, bn, bk = cfg.bm, cfg.bn, cfg.bk
-    gm, gn, gk = mp // bm, np_ // bn, kp // bk
+    gm, gn, gk = cdiv(mp, bm), cdiv(np_, bn), cdiv(kp, bk)
+    # static valid width of the final K block; None = no masking needed
+    k_rem_val = kp - (gk - 1) * bk
+    k_rem = None if k_rem_val == bk else k_rem_val
     acc_dtype = jnp.dtype(cfg.acc_dtype)
 
     mn_parallel = "parallel" if cfg.parallel_mn else "arbitrary"
@@ -151,12 +208,13 @@ def _build_call(mp: int, np_: int, kp: int, cfg: KernelConfig,
     if gk == 1:
         kernel = functools.partial(
             _kernel_single_k, out_dtype=out_dtype, has_bias=has_bias,
-            activation=activation, rhs_nk=rhs_nk)
+            activation=activation, rhs_nk=rhs_nk, k_rem=k_rem)
         scratch = []
     else:
         kernel = functools.partial(
             _kernel_multi_k, acc_dtype=acc_dtype, out_dtype=out_dtype,
-            has_bias=has_bias, activation=activation, rhs_nk=rhs_nk)
+            has_bias=has_bias, activation=activation, rhs_nk=rhs_nk,
+            k_rem=k_rem)
         scratch = [pltpu.VMEM((bm, bn), acc_dtype)]
 
     return pl.pallas_call(
@@ -179,6 +237,22 @@ def _forward_padded(a, b, cfg: KernelConfig, out_dtype, interpret: bool,
     has it materialized (the harness ABI always does, mirroring the
     reference's b_col_major argument) or derived here otherwise."""
     from tpul2.utils.padding import pad_to, round_up
+    if cfg.edge == "mask":
+        # In-kernel predicated edges: no padding copies, no output slice —
+        # the kernel runs over the raw dims (see _build_call).
+        m, k = a.shape
+        if cfg.rhs_layout == "nk":
+            rhs = b_t if b_t is not None else jnp.swapaxes(b, 0, 1)
+            n = rhs.shape[0]
+        else:
+            rhs = b
+            n = b.shape[1]
+        call = _build_call(m, n, k, cfg, a.dtype, jnp.dtype(out_dtype),
+                           interpret, has_bias=bias is not None,
+                           activation=activation)
+        if bias is not None:
+            return call(a, rhs, bias.reshape(1, -1)), (m, n)
+        return call(a, rhs), (m, n)
     if cfg.rhs_layout == "nk":
         bt = b_t if b_t is not None else jnp.swapaxes(b, 0, 1)
         m, k = a.shape
