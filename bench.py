@@ -99,6 +99,32 @@ def main() -> int:
               f"{res['per_func']['xla_matmul']['tflops']:.1f} TFLOPS)",
               file=sys.stderr)
 
+    # MFU evidence (VERDICT r2 weak #2 / next-round #6): the band suite's
+    # single square slot is rank-representative (256^3), which cannot show
+    # the >=90%-of-peak target (BASELINE.md:51) — probe the large squares
+    # explicitly so the round artifact itself demonstrates it.
+    PEAK_TFLOPS = 195.0  # v5e bf16, empirically probed (CLAUDE.md)
+    mfu = {}
+    # default ON for the real round run, OFF when the shape suite is
+    # overridden (tests / quick probes — 8192^3 on an interpret backend
+    # would run for hours)
+    mfu_default = "0" if shapes_env else "1"
+    if os.environ.get("TPUL2_BENCH_MFU", mfu_default) != "0":
+        for (m, n, k) in [(2048, 2048, 2048), (4096, 4096, 4096),
+                          (8192, 8192, 8192)]:
+            res = eval_shape_lean(m, n, k, accs=("float32",),
+                                  trials=max(2, trials - 2))
+            cand = res["per_func"]["tpul2_float32"]
+            mfu[f"{m}x{n}x{k}"] = {
+                "tflops": round(cand["tflops"], 1),
+                "pct_of_peak": round(100 * cand["tflops"] / PEAK_TFLOPS, 1),
+                "speedup": round(
+                    res["speedups"]["float32"]["xla_matmul"], 4),
+            }
+            print(f"# mfu {m}^3: {cand['tflops']:.1f} TFLOPS "
+                  f"({100 * cand['tflops'] / PEAK_TFLOPS:.1f}% of peak)",
+                  file=sys.stderr)
+
     geomean = float(np.exp(np.mean(np.log(speedups))))
     print(json.dumps({
         "metric": "geomean_speedup_vs_xla_dot",
@@ -106,6 +132,7 @@ def main() -> int:
         "unit": "x",
         "vs_baseline": round(geomean, 4),
         "shapes": per_shape,
+        "mfu": mfu,
     }))
     return 0
 

@@ -377,7 +377,12 @@ def cmd_eval_server(args) -> int:
     VERDICT r1 #3: no silently-trusted server rows."""
     import json
 
-    from tpul2.harness.bench_suite import eval_shape_server_lean
+    import jax.numpy as jnp
+
+    from tpul2.autotune.db import default_db
+    from tpul2.dispatch import refresh_candidates
+    from tpul2.harness.bench_suite import (eval_shape_server_lean,
+                                           heal_entries_from_eval)
     from tpul2.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
@@ -388,6 +393,13 @@ def cmd_eval_server(args) -> int:
     detail = Path(args.detail or
                   str(next(iter(outs.values()))).replace(".csv",
                                                          "_detail.jsonl"))
+    if args.repair:
+        for acc, p in outs.items():
+            dropped = _repair_csv(p, threshold=args.repair_threshold)
+            if dropped:
+                print(f"repair[{acc}]: re-evaluating {len(dropped)} tainted "
+                      f"server rows: {sorted(dropped)}", file=sys.stderr)
+    db = default_db()
     failed = _load_failures(detail)
     done_sets = {acc: _load_done(p) | failed for acc, p in outs.items()}
     pool = (_parse_shapes(args.shapes) if getattr(args, "shapes", None)
@@ -415,6 +427,20 @@ def cmd_eval_server(args) -> int:
                 res = eval_shape_server_lean(
                     m, n, k, accs=accs, n_requests=args.n_requests,
                     request_ms=args.request_ms, load=args.load)
+                # never-lose healing for server rows too (VERDICT r2
+                # next-round #2: server is where the bf16 family lost):
+                # demote to the fastest family-screened variant and
+                # re-measure ONCE, publishing that re-measurement
+                # unconditionally
+                demoted = heal_entries_from_eval(db, m, n, k, accs,
+                                                 jnp.bfloat16, res)
+                if demoted:
+                    print(f"{mnk}: healed {demoted}, re-measuring",
+                          file=sys.stderr)
+                    refresh_candidates()
+                    res = eval_shape_server_lean(
+                        m, n, k, accs=accs, n_requests=args.n_requests,
+                        request_ms=args.request_ms, load=args.load)
             except Exception as e:
                 print(f"{mnk}: FAILED {type(e).__name__}: {e}",
                       file=sys.stderr)
@@ -517,6 +543,11 @@ def main(argv=None) -> int:
     s.add_argument("--load", type=float, default=1.0,
                    help="offered load as a fraction of capacity "
                         "(gap mean = service estimate / load)")
+    s.add_argument("--repair", action="store_true", default=True,
+                   help="drop tainted server rows at startup (same "
+                        "journaled once-per-row loss policy as eval)")
+    s.add_argument("--no_repair", dest="repair", action="store_false")
+    s.add_argument("--repair_threshold", type=float, default=0.97)
     s.add_argument("--chunk_shapes", type=int, default=None)
     s.add_argument("--order", choices=["lex", "cost"], default="cost")
     s.add_argument("--shapes", type=str, default=None,

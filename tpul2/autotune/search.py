@@ -67,6 +67,14 @@ def _make_fn(cfg: KernelConfig, out_dtype, interpret):
 
         def f(a, b, b_t):
             return raw(a, b, b_t).astype(out_dtype)
+    elif cfg.pipeline_depth >= 2:
+        from tpul2.ops.pipelined import pallas_matmul_pipelined
+
+        def f(a, b, b_t):
+            rhs = b_t if cfg.rhs_layout == "nk" else b
+            return pallas_matmul_pipelined(a, rhs, cfg,
+                                           out_dtype=out_dtype,
+                                           interpret=interpret)
     elif cfg.rhs_layout == "nk":
         from tpul2.ops.matmul import pallas_matmul_tn
 

@@ -75,7 +75,7 @@ def neighbor_seed_configs(db, m: int, n: int, k: int,
     every dimension, ranked by log-space L1 distance; their non-sentinel
     configs are adapted to (m, n, k), deduplicated, and returned
     best-stored-speedup-first (at most ``limit``)."""
-    entries = db.entries_for(acc, in_dtype)
+    entries = db.entries_near(m, n, k, acc, in_dtype, max_ratio=max_ratio)
     scored = []
     for (em, en, ek), entry in entries:
         cfg = entry.get("config") or {}
@@ -83,7 +83,7 @@ def neighbor_seed_configs(db, m: int, n: int, k: int,
             continue
         ratios = (max(em, m) / min(em, m), max(en, n) / min(en, n),
                   max(ek, k) / min(ek, k))
-        if max(ratios) > max_ratio or (em, en, ek) == (m, n, k):
+        if (em, en, ek) == (m, n, k):
             continue
         dist = sum(abs(math.log(r)) for r in ratios)
         scored.append((dist, -entry.get("speedup_vs_xla", 1.0),

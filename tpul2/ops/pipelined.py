@@ -1,0 +1,177 @@
+"""Manually staged HBM→VMEM matmul pipeline — the kStage search axis.
+
+The reference zoo searches a cp.async pipeline depth per shape (kStage
+2–12, e.g. kernels/a100_F32F16F16F32/4096_4096_4096.cu:88-141: a circular
+smem buffer of kStage stages, each K step waits on stage s%kStage while
+stages ahead prefetch).  The standard tpul2 kernel (ops/matmul.py) leaves
+that role to Mosaic's automatic grid pipelining, which double-buffers every
+blocked operand — a fixed lookahead of 2.
+
+This module is the TPU-native realization of the DEEPER-lookahead axis
+(VERDICT r2 next-round #3b): the K loop moves inside the kernel, operands
+arrive as unblocked HBM refs, and a ``depth``-stage circular VMEM buffer is
+fed by explicit ``pltpu.make_async_copy`` DMAs — stage s's compute overlaps
+the in-flight copies of stages s+1..s+depth-1.  Whether depth>2 ever beats
+Mosaic's automatic scheme on v5e is an empirical question the autotuner
+answers per shape; BENCH_NOTES.md records the measured verdict.
+
+Scope: plain C = A·B (both RHS layouts), pad-free only in the sense that
+dims must already divide the blocks (this is a performance structure for
+the aligned evaluation grid, not an edge-handling mode — combine with
+caller-side padding for other shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpul2.config import KernelConfig
+from tpul2.ops.matmul import _TN_DIMS
+from tpul2.utils.platform import default_interpret
+
+
+def _kernel(a_hbm, b_hbm, o_ref, a_buf, b_buf, a_sem, b_sem, *,
+            bm, bn, bk, gk, depth, rhs_nk, out_dtype, transposed_grid):
+    """One (i, j) output block: fori_loop over K with a ``depth``-stage
+    circular VMEM buffer; each iteration waits on its stage's DMAs, runs
+    the MXU block product, and immediately re-arms the stage for the
+    K step ``depth`` ahead."""
+    if transposed_grid:  # grid_order 'nm': axes are (j, i)
+        j, i = pl.program_id(0), pl.program_id(1)
+    else:
+        i, j = pl.program_id(0), pl.program_id(1)
+    row = pl.multiple_of(i * bm, bm)
+    col = pl.multiple_of(j * bn, bn)
+
+    def dma_a(slot, kk):
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds(row, bm), pl.ds(kk * bk, bk)],
+            a_buf.at[slot], a_sem.at[slot])
+
+    def dma_b(slot, kk):
+        if rhs_nk:
+            src = b_hbm.at[pl.ds(col, bn), pl.ds(kk * bk, bk)]
+        else:
+            src = b_hbm.at[pl.ds(kk * bk, bk), pl.ds(col, bn)]
+        return pltpu.make_async_copy(src, b_buf.at[slot], b_sem.at[slot])
+
+    # prologue: arm the first min(depth, gk) stages (static unroll)
+    for s in range(min(depth, gk)):
+        dma_a(s, s).start()
+        dma_b(s, s).start()
+
+    def body(kk, acc):
+        slot = jax.lax.rem(kk, depth)
+        dma_a(slot, kk).wait()
+        dma_b(slot, kk).wait()
+        if rhs_nk:
+            part = jax.lax.dot_general(
+                a_buf[slot], b_buf[slot], _TN_DIMS,
+                preferred_element_type=jnp.float32)
+        else:
+            part = jnp.dot(a_buf[slot], b_buf[slot],
+                           preferred_element_type=jnp.float32)
+        nxt = kk + depth
+
+        @pl.when(nxt < gk)
+        def _rearm():
+            dma_a(slot, nxt).start()
+            dma_b(slot, nxt).start()
+
+        return acc + part
+
+    acc = jax.lax.fori_loop(0, gk, body,
+                            jnp.zeros((bm, bn), jnp.float32))
+    o_ref[:] = acc.astype(out_dtype)
+
+
+def pallas_matmul_pipelined(a: jax.Array, b_or_bt: jax.Array,
+                            config: Optional[KernelConfig] = None,
+                            out_dtype=None,
+                            interpret: Optional[bool] = None) -> jax.Array:
+    """C = A·B through the manually staged pipeline.
+
+    a: (M, K).  The RHS argument follows ``config.rhs_layout``: (K, N) for
+    'kn', pre-transposed (N, K) for 'nk'.  ``config.pipeline_depth`` (>= 2)
+    selects the stage count.  All three dims must divide the block sizes.
+    """
+    cfg = config or KernelConfig(pipeline_depth=2)
+    depth = cfg.pipeline_depth
+    if depth < 2:
+        raise ValueError("pallas_matmul_pipelined requires "
+                         f"pipeline_depth >= 2 (got {depth})")
+    if out_dtype is None:
+        out_dtype = a.dtype
+    if interpret is None:
+        interpret = default_interpret()
+    rhs_nk = cfg.rhs_layout == "nk"
+    m, k = a.shape
+    n = b_or_bt.shape[0] if rhs_nk else b_or_bt.shape[1]
+    err = cfg.validate(a.dtype, shape=(m, n, k))
+    if err:
+        raise ValueError(f"invalid kernel config for dtype {a.dtype}: {err}")
+    bm, bn, bk = cfg.bm, cfg.bn, cfg.bk
+    if m % bm or n % bn or k % bk:
+        raise ValueError(
+            f"pipelined kernel needs dims divisible by blocks: "
+            f"({m},{n},{k}) vs ({bm},{bn},{bk})")
+    gm, gn, gk = m // bm, n // bn, k // bk
+    depth = min(depth, gk) if gk > 1 else 1
+    if depth < 2:
+        # degenerate K: a single resident block — the standard kernel's
+        # single-K fast path is the same program without DMA bookkeeping
+        from tpul2.ops.matmul import pallas_matmul, pallas_matmul_tn
+        import dataclasses as _dc
+        plain = _dc.replace(cfg, pipeline_depth=0)
+        if rhs_nk:
+            return pallas_matmul_tn(a, b_or_bt, config=plain,
+                                    out_dtype=out_dtype, interpret=interpret)
+        return pallas_matmul(a, b_or_bt, config=plain, out_dtype=out_dtype,
+                             interpret=interpret)
+
+    transposed_grid = cfg.grid_order == "nm"
+    grid = (gn, gm) if transposed_grid else (gm, gn)
+    if transposed_grid:
+        o_map = lambda j, i: (i, j)  # noqa: E731
+    else:
+        o_map = lambda i, j: (i, j)  # noqa: E731
+
+    mn_parallel = "parallel" if cfg.parallel_mn else "arbitrary"
+    params = {}
+    if cfg.vmem_limit_bytes is not None:
+        params["vmem_limit_bytes"] = int(cfg.vmem_limit_bytes)
+
+    in_dtype = a.dtype
+    kernel = functools.partial(
+        _kernel, bm=bm, bn=bn, bk=bk, gk=gk, depth=depth, rhs_nk=rhs_nk,
+        out_dtype=jnp.dtype(out_dtype), transposed_grid=transposed_grid)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((bm, bn), o_map),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.dtype(out_dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((depth, bm, bk), in_dtype),
+            pltpu.VMEM((depth, bn, bk) if rhs_nk else (depth, bk, bn),
+                       in_dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(mn_parallel, mn_parallel), **params),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=(m * k + k * n) * jnp.dtype(in_dtype).itemsize
+            + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )
+    return call(a, b_or_bt)
