@@ -290,6 +290,26 @@ def cmd_eval(args) -> int:
                     stale = (entry is not None
                              and (entry.get("timing_rev", 1) < bu.TIMING_REV
                                   or entry.get("space_rev", 1) < SPACE_REV))
+                    if args.tune_mode == "transfer":
+                        # Zero-search tuning for the expensive tail: adopt
+                        # the top adapted-neighbor Pallas config as the
+                        # entry and let THIS shape's eval measure it — the
+                        # publication measurement refreshes the entry's
+                        # bookkeeping (heal_entries_from_eval) and the heal
+                        # gate demotes it if it loses.  One kernel compile
+                        # per family instead of a mini-tune's dozens.
+                        if entry is None:
+                            seeds = neighbor_seed_configs(db, m, n, k, acc,
+                                                          limit=1)
+                            if seeds:
+                                db.put(m, n, k, seeds[0], tflops=0.0,
+                                       acc=acc,
+                                       extra={"speedup_vs_xla": 1.0,
+                                              "timing_rev": bu.TIMING_REV,
+                                              "space_rev": SPACE_REV,
+                                              "scope": "transfer"})
+                                tuned_any = True
+                        continue
                     if entry is None or stale:
                         seeds = neighbor_seed_configs(db, m, n, k, acc)
                         if stale:
@@ -514,6 +534,13 @@ def main(argv=None) -> int:
     e.add_argument("--mini_tune", action="store_true", default=True)
     e.add_argument("--no_mini_tune", dest="mini_tune", action="store_false")
     e.add_argument("--mini_tune_cands", type=int, default=6)
+    e.add_argument("--tune_mode", choices=["mini", "transfer"],
+                   default="mini",
+                   help="win-band tuning strategy: 'mini' = seeded "
+                        "mini-tune (default); 'transfer' = adopt the top "
+                        "adapted-neighbor config with zero search and let "
+                        "the eval itself measure/heal it (the compile-"
+                        "budget mode for the expensive tail)")
     e.add_argument("--repair", action="store_true", default=True,
                    help="drop tainted CSV rows (candidate loss beyond "
                         "noise, or inconsistent columns) at startup so "

@@ -231,3 +231,58 @@ def test_parse_shapes_inline_and_file(tmp_path):
     # the checked-in serving suite parses
     shapes = rs._parse_shapes("@scripts/serving_shapes.txt")
     assert (64, 28672, 8192) in shapes and len(shapes) == 20
+
+
+def test_eval_transfer_tune_mode(tmp_path, monkeypatch):
+    """--tune_mode transfer: a win-band tail shape adopts the top adapted-
+    neighbor Pallas config as its DB entry (zero-search), the eval's
+    publication measurement refreshes its bookkeeping, and no mini-tune
+    runs (VERDICT r2 — compile-budget mode for the expensive tail)."""
+    import jax.numpy as jnp
+
+    from tpul2.autotune import db as dbmod
+    from tpul2.config import KernelConfig
+
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    dbmod.reset_default_db()
+    db = dbmod.default_db()
+    # a nearby Pallas winner: 64x4096x64 (the tail shape is 64x8192x64)
+    win = KernelConfig(bm=64, bn=4096, bk=64)
+    db.put(64, 4096, 64, win, tflops=50.0,
+           extra={"speedup_vs_xla": 1.5})
+    db.save()
+
+    tuned = []
+
+    def fake_tune(*a, **kw):  # a mini-tune would be a bug in this mode
+        tuned.append(a)
+
+    def fake_lean(m, n, k, accs=("float32",), **kw):
+        res = _fake_lean(m, n, k, accs=accs, **kw)
+        res["per_func"] = {
+            name: {"ms": 1.0 / v, "iqr_ms": 0.0, "tflops": v}
+            for name, v in res["speedups"][accs[0]].items()}
+        for acc in accs:
+            res["per_func"][f"tpul2_{acc}"] = {"ms": 1.0, "iqr_ms": 0.0,
+                                               "tflops": 77.0}
+        return res
+
+    import tpul2.autotune.search as search_mod
+    import tpul2.harness.bench_suite as bs
+    monkeypatch.setattr(search_mod, "tune_shape", fake_tune)
+    monkeypatch.setattr(bs, "eval_shape_lean", fake_lean)
+
+    out = tmp_path / "tail_{acc}.csv"
+    rc = rs.main(["eval", "--shapes", "64,8192,64", "--accs", "float32",
+                  "--tune_mode", "transfer", "--out", str(out)])
+    assert rc == 0 and tuned == []
+    entry = db.get_entry(64, 8192, 64, "float32")
+    assert entry is not None
+    assert entry["scope"] == "transfer"
+    cfg = entry["config"]
+    assert not cfg["use_xla"]
+    # full-dim semantics transferred: bn follows the new n
+    assert cfg["bn"] == 8192 and cfg["bm"] == 64 and cfg["bk"] == 64
+    # bookkeeping refreshed from the (stubbed) publication measurement
+    assert entry["tflops"] == 77.0
+    dbmod.reset_default_db()

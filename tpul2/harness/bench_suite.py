@@ -319,6 +319,18 @@ def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
                                            / per_func[name]["ms"])
                 entry["timing_rev"] = TIMING_REV
                 changed = True
+        elif entry is not None and f"tpul2_{acc}" in per_func:
+            # Pallas entry that did NOT lose: refresh its bookkeeping from
+            # this eval's publication-phase candidate measurement (matters
+            # for 'transfer'-scope entries recorded with provisional
+            # numbers — their real speedup seeds future neighbor
+            # transfers).
+            cand = per_func[f"tpul2_{acc}"]
+            entry["tflops"] = cand["tflops"]
+            entry["speedup_vs_xla"] = (per_func["xla_matmul"]["ms"]
+                                       / cand["ms"])
+            entry["timing_rev"] = TIMING_REV
+            changed = True
     if changed:
         db.save()
     return demoted
