@@ -391,7 +391,11 @@ def candidate_configs(m: int, n: int, k: int,
 
     bms = dim_choices(m, tuple(b for b in (sub, 32, 64, 128, 256, 512, 1024)
                                if b % sub == 0), sub)
-    bns = dim_choices(n, (128, 256, 512, 1024, 2048, 4096), LANE)
+    # bn reaches 16384 (round 3): thin-K giants are output-write bound and
+    # want the longest contiguous row-major C stripes VMEM allows — the
+    # footprint model prunes what doesn't fit.
+    bns = dim_choices(n, (128, 256, 512, 1024, 2048, 4096, 8192, 16384),
+                      LANE)
     bks = dim_choices(k, (128, 256, 512, 1024, 2048, 4096, 8192, 16384),
                       LANE)
 
