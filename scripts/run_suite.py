@@ -300,9 +300,15 @@ def cmd_eval(args) -> int:
                         # per family instead of a mini-tune's dozens.
                         if entry is None:
                             seeds = neighbor_seed_configs(db, m, n, k, acc,
-                                                          limit=1)
-                            if seeds:
-                                db.put(m, n, k, seeds[0], tflops=0.0,
+                                                          limit=1,
+                                                          with_scores=True)
+                            # margin gate: spend the kernel compile only
+                            # where the band's stored win predicts a real
+                            # margin; below it the sentinel fill gives
+                            # honest parity at zero extra compiles
+                            if seeds and seeds[0][1] >= \
+                                    args.transfer_min_speedup:
+                                db.put(m, n, k, seeds[0][0], tflops=0.0,
                                        acc=acc,
                                        extra={"speedup_vs_xla": 1.0,
                                               "timing_rev": bu.TIMING_REV,
@@ -534,6 +540,10 @@ def main(argv=None) -> int:
     e.add_argument("--mini_tune", action="store_true", default=True)
     e.add_argument("--no_mini_tune", dest="mini_tune", action="store_false")
     e.add_argument("--mini_tune_cands", type=int, default=6)
+    e.add_argument("--transfer_min_speedup", type=float, default=1.05,
+                   help="transfer mode's margin gate: adopt a neighbor "
+                        "config only when its stored win is at least this "
+                        "(compiles go where the band predicts real wins)")
     e.add_argument("--tune_mode", choices=["mini", "transfer"],
                    default="mini",
                    help="win-band tuning strategy: 'mini' = seeded "

@@ -68,13 +68,17 @@ def neighbor_seed_configs(db, m: int, n: int, k: int,
                           acc: str = "float32",
                           in_dtype=jnp.bfloat16,
                           limit: int = 3,
-                          max_ratio: float = 4.0) -> list:
+                          max_ratio: float = 4.0,
+                          with_scores: bool = False) -> list:
     """Top adapted Pallas configs from the nearest tuned neighbors.
 
     Neighbors are DB entries (same acc family) within ``max_ratio`` on
     every dimension, ranked by log-space L1 distance; their non-sentinel
     configs are adapted to (m, n, k), deduplicated, and returned
-    best-stored-speedup-first (at most ``limit``)."""
+    best-stored-speedup-first (at most ``limit``).  With ``with_scores``
+    each item is (config, src_speedup) — the neighbor's stored
+    speedup_vs_xla, the campaign's prior for whether the adapted config is
+    worth a compile (run_suite --tune_mode transfer's margin gate)."""
     entries = db.entries_near(m, n, k, acc, in_dtype, max_ratio=max_ratio)
     scored = []
     for (em, en, ek), entry in entries:
@@ -91,12 +95,12 @@ def neighbor_seed_configs(db, m: int, n: int, k: int,
     scored.sort(key=lambda t: (t[0], t[1]))
 
     out, seen = [], set()
-    for _, _, src, cfg in scored:
+    for _, neg_sp, src, cfg in scored:
         adapted = _adapt(cfg, src, (m, n, k), in_dtype)
         if adapted is None or adapted in seen:
             continue
         seen.add(adapted)
-        out.append(adapted)
+        out.append((adapted, -neg_sp) if with_scores else adapted)
         if len(out) >= limit:
             break
     return out
