@@ -82,16 +82,18 @@ def probe_shape(m, n, k, acc, depths, trials=3, target_ms=120.0):
     rng = np.random.default_rng(0)
     data0 = bu.fresh_inputs(rng, m, n, k, in_dtype)
     # correctness screen first: every structural variant must match the
-    # f32 truth exactly on 0/1 data before it may be timed
+    # f32 truth exactly on 0/1 data before it may be timed.  All probe
+    # functions emit IN-DTYPE (bf16) outputs, so the screen keys on the
+    # OUTPUT dtype's integer-exact bound (256), not the accumulator's —
+    # with density sqrt(64/K) every correctly f32-accumulated program is
+    # bit-exact after its single output rounding, regardless of acc family.
     from tpul2.harness.correctness import zero_one_density
-    dens = zero_one_density(k, "bfloat16" if acc == "bfloat16" else
-                            "float32")
+    dens = zero_one_density(k, "bfloat16")
     a01 = jnp.asarray(rng.random((m, k)) < dens, in_dtype)
     b01 = jnp.asarray(rng.random((k, n)) < dens, in_dtype)
     bt01 = jnp.swapaxes(b01, 0, 1)
     truth = np.asarray(a01, np.float32) @ np.asarray(b01, np.float32)
-    bound = 256.0 if acc == "bfloat16" else float(1 << 24)
-    mask_ok = np.abs(truth) <= bound
+    mask_ok = np.abs(truth) <= 256.0
     exact = {}
     for name, fn in list(funcs.items()):
         out = np.asarray(jax.block_until_ready(fn(a01, b01, bt01)),
@@ -99,8 +101,10 @@ def probe_shape(m, n, k, acc, depths, trials=3, target_ms=120.0):
         d = np.abs(out - truth)
         d[~mask_ok] = 0.0
         exact[name] = bool(d.max() == 0.0)
-        if not exact[name]:
-            del funcs[name]  # never time an inexact program
+        if not exact[name] and name not in ("jnp_matmul", "candidate"):
+            del funcs[name]  # never time an inexact structure variant
+    if not exact["jnp_matmul"] or not exact["candidate"]:
+        raise RuntimeError(f"screen failed for baseline/candidate: {exact}")
 
     reps = bu.calibrated_reps(funcs["jnp_matmul"], data0, m, n, k,
                               in_dtype, target_ms=target_ms)

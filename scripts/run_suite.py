@@ -85,7 +85,8 @@ def _load_done(path: Path) -> set:
 
 
 def _repair_csv(path: Path, threshold: float = 0.97,
-                ratio_cap: float = 2.5, max_loss_repairs: int = 1) -> set:
+                ratio_cap: float = 2.5, max_loss_repairs: int = 1,
+                max_inconsistent_repairs: int = 3) -> set:
     """Drop tainted rows from a campaign CSV so they are re-evaluated.
 
     Two taint classes, with different retry policies (ADVICE r2 medium #2:
@@ -100,10 +101,14 @@ def _repair_csv(path: Path, threshold: float = 0.97,
         budget stays in the artifact as an honest loss.
       inconsistency taint — columns internally inconsistent (max/min >
         ratio_cap: the XLA formulations are near-identical programs, so a
-        2.5x spread inside one row means a corrupted measurement, e.g. a
-        recompile or fence stall landed inside one column's trials).
-        Always dropped — these are invalid measurements, not unfavorable
-        draws (still journaled, so churn is visible).
+        2.5x spread inside one row usually means a corrupted measurement,
+        e.g. a recompile or fence stall landed inside one column's
+        trials).  Re-measured up to ``max_inconsistent_repairs`` times;
+        a row that STILL spreads past the cap after that many fresh
+        measurements is a real property of the shape (e.g. one
+        formulation genuinely that much slower) and is kept — otherwise
+        one such shape would re-evaluate every chunk forever and the
+        campaign's completion check could never fire.
 
     Runs at chunk start, before the CSV is opened for append; re-evals go
     through the heal_entries_from_eval never-lose path.  Returns the
@@ -128,11 +133,13 @@ def _repair_csv(path: Path, threshold: float = 0.97,
             continue
         inconsistent = max(vals) / min(vals) > ratio_cap
         lossy = float(r["jnp.matmul"]) < threshold or min(vals) < 0.90
+        if not (inconsistent or lossy):
+            continue  # clean rows never enter the journal
         rec = journal.setdefault(r["mnk"], {"loss": 0, "inconsistent": 0})
-        if inconsistent:
+        if inconsistent and rec["inconsistent"] < max_inconsistent_repairs:
             rec["inconsistent"] += 1
             dropped.add(r["mnk"])
-        elif lossy and rec["loss"] < max_loss_repairs:
+        elif lossy and not inconsistent and rec["loss"] < max_loss_repairs:
             rec["loss"] += 1
             dropped.add(r["mnk"])
     if dropped:
@@ -314,6 +321,11 @@ def cmd_eval(args) -> int:
                                               "timing_rev": bu.TIMING_REV,
                                               "space_rev": SPACE_REV,
                                               "scope": "transfer"})
+                                # persist now: if this shape's eval then
+                                # fails, the adopted config must survive
+                                # for the retry chunk (stale sentinels are
+                                # refreshed by the eval's sentinel fill)
+                                db.save()
                                 tuned_any = True
                         continue
                     if entry is None or stale:
@@ -457,9 +469,13 @@ def cmd_eval_server(args) -> int:
                 # next-round #2: server is where the bf16 family lost):
                 # demote to the fastest family-screened variant and
                 # re-measure ONCE, publishing that re-measurement
-                # unconditionally
-                demoted = heal_entries_from_eval(db, m, n, k, accs,
-                                                 jnp.bfloat16, res)
+                # unconditionally.  ONLY quality='ok' rows may touch the
+                # DB — a floor_limited measurement is jitter-dominated and
+                # must never demote entries or overwrite offline-measured
+                # bookkeeping (the row's own flag says so).
+                demoted = (heal_entries_from_eval(db, m, n, k, accs,
+                                                  jnp.bfloat16, res)
+                           if res["quality"] == "ok" else [])
                 if demoted:
                     print(f"{mnk}: healed {demoted}, re-measuring",
                           file=sys.stderr)

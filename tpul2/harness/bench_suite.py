@@ -154,8 +154,14 @@ def _screen_variant_exact(variant: str, m: int, n: int, k: int,
     # (ADVICE r2 medium #1: keying on in_dtype made the f32 branch
     # unreachable — inputs are always bf16 — so bf16-rounded formulations
     # passed vacuously).  For acc=float32 the sums reach ~K/4 (p=0.5, up
-    # to 2^24-exact in f32), so any formulation whose result passed
-    # through bf16 fails wherever K makes sums exceed 256.
+    # to 2^24-exact in f32); the pass criterion accepts a result that is
+    # the f32-accumulated product EITHER exactly (the variant's f32
+    # product survives the jit boundary — XLA folds away intermediate
+    # converts) OR after exactly ONE final bf16 rounding (in case a
+    # compiler change ever materializes the cast).  A formulation that
+    # ACCUMULATES through bf16 (split-K partial rounding) differs from
+    # both wherever K makes partial sums exceed 256, so the family
+    # contract holds without depending on XLA's convert folding.
     bf16ish = acc == "bfloat16"
     dens = zero_one_density(k, "bfloat16" if bf16ish else "float32")
     bound = 256.0 if bf16ish else float(1 << 24)
@@ -174,6 +180,9 @@ def _screen_variant_exact(variant: str, m: int, n: int, k: int,
             preferred_element_type=jnp.float32)
         out = XLA_VARIANT_FNS[variant](sa, sb, sbt).astype(jnp.float32)
         d = jnp.abs(out - truth)
+        if not bf16ish:
+            truth_r1 = truth.astype(jnp.bfloat16).astype(jnp.float32)
+            d = jnp.minimum(d, jnp.abs(out - truth_r1))
         d = jnp.where(jnp.abs(truth) <= bound, d, 0.0)
         finite = jnp.all(jnp.isfinite(out))
         return jnp.where(finite, jnp.max(d), jnp.inf)

@@ -131,8 +131,16 @@ def _to_kernel_config(c: TL2Config):
         rhs_layout="nk" if c.flags & 4 else "kn",
         # bit 6: round-3 masked-edge mode (unset on older sidecars = 'pad')
         edge="mask" if c.flags & 64 else "pad",
+        # bits 7-9: staged-pipeline depth index into _PIPELINE_DEPTHS
+        # (0 on older sidecars = Mosaic auto)
+        pipeline_depth=_PIPELINE_DEPTHS[(c.flags >> 7) & 7],
         vmem_limit_bytes=int(c.vmem_limit) if c.vmem_limit else None,
     )
+
+
+#: flags bits 7-9 codec for KernelConfig.pipeline_depth (config.validate
+#: admits exactly these values; index 0 = automatic pipelining).
+_PIPELINE_DEPTHS = (0, 2, 3, 4, 6, 8, 0, 0)
 
 
 def _from_kernel_config(cfg, acc: str, tflops: float = 0.0) -> TL2Config:
@@ -140,6 +148,9 @@ def _from_kernel_config(cfg, acc: str, tflops: float = 0.0) -> TL2Config:
     flags = ((1 if cfg.use_xla else 0) | (2 if cfg.parallel_mn else 0)
              | (4 if cfg.rhs_layout == "nk" else 0)
              | (64 if getattr(cfg, "edge", "pad") == "mask" else 0))
+    depth = getattr(cfg, "pipeline_depth", 0)
+    if depth in _PIPELINE_DEPTHS:
+        flags |= _PIPELINE_DEPTHS.index(depth) << 7
     if cfg.use_xla:
         flags |= XLA_VARIANTS.index(cfg.xla_variant) << 3
     return TL2Config(cfg.bm, cfg.bn, cfg.bk,
