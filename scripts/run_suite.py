@@ -86,7 +86,8 @@ def _load_done(path: Path) -> set:
 
 def _repair_csv(path: Path, threshold: float = 0.97,
                 ratio_cap: float = 2.5, max_loss_repairs: int = 1,
-                max_inconsistent_repairs: int = 3) -> set:
+                max_inconsistent_repairs: int = 3,
+                any_col_floor: float = 0.90) -> set:
     """Drop tainted rows from a campaign CSV so they are re-evaluated.
 
     Two taint classes, with different retry policies (ADVICE r2 medium #2:
@@ -132,7 +133,12 @@ def _repair_csv(path: Path, threshold: float = 0.97,
         if not vals:
             continue
         inconsistent = max(vals) / min(vals) > ratio_cap
-        lossy = float(r["jnp.matmul"]) < threshold or min(vals) < 0.90
+        # any_col_floor mirrors the heal gate: a row losing beyond it to
+        # ANY published column gets its one journaled re-measure through
+        # the heal path (the never-lose contract covers every column,
+        # VERDICT r2 next-round #2)
+        lossy = (float(r["jnp.matmul"]) < threshold
+                 or min(vals) < any_col_floor)
         if not (inconsistent or lossy):
             continue  # clean rows never enter the journal
         rec = journal.setdefault(r["mnk"], {"loss": 0, "inconsistent": 0})
@@ -251,7 +257,8 @@ def cmd_eval(args) -> int:
                                                          "_detail.jsonl"))
     if args.repair:
         for acc, p in outs.items():
-            dropped = _repair_csv(p, threshold=args.repair_threshold)
+            dropped = _repair_csv(p, threshold=args.repair_threshold,
+                                  any_col_floor=args.repair_floor)
             if dropped:
                 print(f"repair[{acc}]: re-evaluating {len(dropped)} tainted "
                       f"rows: {sorted(dropped)}", file=sys.stderr)
@@ -433,7 +440,8 @@ def cmd_eval_server(args) -> int:
                                                          "_detail.jsonl"))
     if args.repair:
         for acc, p in outs.items():
-            dropped = _repair_csv(p, threshold=args.repair_threshold)
+            dropped = _repair_csv(p, threshold=args.repair_threshold,
+                                  any_col_floor=args.repair_floor)
             if dropped:
                 print(f"repair[{acc}]: re-evaluating {len(dropped)} tainted "
                       f"server rows: {sorted(dropped)}", file=sys.stderr)
@@ -573,6 +581,9 @@ def main(argv=None) -> int:
                         "they re-evaluate through the healing path")
     e.add_argument("--no_repair", dest="repair", action="store_false")
     e.add_argument("--repair_threshold", type=float, default=0.97)
+    e.add_argument("--repair_floor", type=float, default=0.95,
+                   help="any-column loss floor for the one journaled "
+                        "re-measure (mirrors the heal gate)")
     e.add_argument("--order", choices=["lex", "cost"], default="cost")
     e.add_argument("--shapes", type=str, default=None,
                    help="explicit 'm,n,k;m,n,k;...' list evaluated INSTEAD "
@@ -601,6 +612,10 @@ def main(argv=None) -> int:
                         "journaled once-per-row loss policy as eval)")
     s.add_argument("--no_repair", dest="repair", action="store_false")
     s.add_argument("--repair_threshold", type=float, default=0.97)
+    s.add_argument("--repair_floor", type=float, default=0.98,
+                   help="any-column loss floor (server default matches "
+                        "the heal gate: the bf16 family's systematic "
+                        "-max losses are the VERDICT r2 #2 item)")
     s.add_argument("--chunk_shapes", type=int, default=None)
     s.add_argument("--order", choices=["lex", "cost"], default="cost")
     s.add_argument("--shapes", type=str, default=None,
