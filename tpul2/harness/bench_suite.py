@@ -305,9 +305,15 @@ def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
                 continue
             variant = best[len("xla_"):]
             if is_sentinel and entry["config"].get("xla_variant") == variant:
-                # already dispatching the measured-best variant — the loss
-                # is measurement noise, not a config defect; re-measure
-                demoted.append(acc)
+                # Already dispatching the measured-best variant: there is
+                # no better config to switch to.  Re-measure only for a
+                # REAL loss (vs jnp.matmul beyond the noise band) — a
+                # -max-column-only shortfall at this point is the derived
+                # columns' min-of-two-medians bias (~1%), which a
+                # re-measurement reproduces rather than repairs; spending
+                # a second eval on it is pure campaign churn.
+                if sp.get("xla_matmul", 1.0) < threshold:
+                    demoted.append(acc)
                 continue
             db.put(m, n, k, KernelConfig.xla(variant),
                    per_func[best]["tflops"], acc=acc, in_dtype=in_dtype,
