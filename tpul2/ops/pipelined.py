@@ -154,8 +154,8 @@ def pallas_matmul_pipelined(a: jax.Array, b_or_bt: jax.Array,
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((bm, bn), o_map),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.dtype(out_dtype)),
         scratch_shapes=[
