@@ -1,5 +1,6 @@
 """Dispatch layer tests: DB lookup → heuristic → XLA sentinel."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,3 +105,26 @@ def test_tune_persists_to_passed_empty_db(tmp_path, monkeypatch):
                stage2_rounds=1, finalists=1, save=True)
     assert len(mine) == 1
     assert len(db_mod.default_db()) == 0
+
+
+def test_shape_mismatch_raises_value_error():
+    """API-boundary errors (verify recipe: 'should raise cleanly') — a
+    mismatched contraction dim must be a ValueError at tpul2.matmul /
+    batched_matmul, not an AssertionError from the padding internals."""
+    a = jnp.ones((8, 16), jnp.bfloat16)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        tpul2.matmul(a, jnp.ones((3, 5), jnp.bfloat16))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        tpul2.matmul(a[0], jnp.ones((16, 4), jnp.bfloat16))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        tpul2.batched_matmul(jnp.ones((2, 8, 16), jnp.bfloat16),
+                             jnp.ones((2, 9, 4), jnp.bfloat16))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        tpul2.batched_matmul(jnp.ones((2, 8, 16), jnp.bfloat16),
+                             jnp.ones((3, 16, 4), jnp.bfloat16))
+
+
+def test_invalid_config_raises_value_error():
+    a = jnp.ones((64, 64), jnp.bfloat16)
+    with pytest.raises(ValueError, match="invalid kernel config"):
+        tpul2.matmul(a, a, config=KernelConfig(bm=13, bn=128, bk=128))

@@ -96,6 +96,10 @@ def matmul(a: jax.Array, b: jax.Array, *,
     pre-transposed (N, K) RHS — consumed for free when the tuned config's
     rhs_layout is 'nk' (the reference's b_col_major argument).
     """
+    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
+        raise ValueError(
+            f"matmul shape mismatch: {a.shape} @ {b.shape} (expected "
+            f"(M, K) @ (K, N))")
     m, k = a.shape
     n = b.shape[1]
     if config is None:
@@ -158,6 +162,11 @@ def batched_matmul(a: jax.Array, b: jax.Array, *,
     Per-shape config resolution keys on (M, N, K) — the batch axis reuses
     the 2D tiling."""
     from tpul2.ops.batched import pallas_batched_matmul
+    if (a.ndim != 3 or b.ndim != 3 or a.shape[0] != b.shape[0]
+            or a.shape[2] != b.shape[1]):
+        raise ValueError(
+            f"batched_matmul shape mismatch: {a.shape} @ {b.shape} "
+            f"(expected (B, M, K) @ (B, K, N))")
     _, m, k = a.shape
     n = b.shape[2]
     if config is None:
