@@ -286,3 +286,32 @@ def test_eval_transfer_tune_mode(tmp_path, monkeypatch):
     # bookkeeping refreshed from the (stubbed) publication measurement
     assert entry["tflops"] == 77.0
     dbmod.reset_default_db()
+
+
+def test_seed_tail_entries_full_grid(tmp_path, monkeypatch):
+    """scripts/seed_tail_entries.py materializes a DB entry for every
+    grid shape x family (VERDICT r2 #4), honestly flagged as unmeasured,
+    without disturbing existing measured entries."""
+    from tpul2.autotune import db as db_mod
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    from scripts.run_suite import REFERENCE_DIMS, grid
+    from scripts.seed_tail_entries import main as seed_main
+    from tpul2.config import KernelConfig
+    db = db_mod.default_db()
+    measured = KernelConfig(bm=64, bn=128, bk=128)
+    db.put(64, 64, 64, measured, tflops=1.0, acc="float32",
+           extra={"speedup_vs_xla": 1.2})
+    db.save()
+    assert seed_main([]) == 0
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    n_shapes = len(grid(REFERENCE_DIMS))
+    assert len(db) == 2 * n_shapes
+    # the pre-existing measured entry is untouched
+    e = db.get_entry(64, 64, 64, "float32")
+    assert e["speedup_vs_xla"] == 1.2 and "measured" not in e
+    # a seeded entry is flagged unmeasured with neutral speedup
+    e2 = db.get_entry(16384, 16384, 16384, "float32")
+    assert e2["measured"] is False and e2["scope"] == "transfer_static"
+    assert e2["speedup_vs_xla"] == 1.0
