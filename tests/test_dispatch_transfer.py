@@ -84,3 +84,23 @@ def test_entries_near_matches_linear_scan(tmp_path):
     # index invalidation: a put becomes visible immediately
     db.put(65, 65, 65, KernelConfig.xla(), tflops=1.0)
     assert (65, 65, 65) in {s for s, _ in db.entries_near(64, 64, 64)}
+
+
+def test_raised_vmem_adaptation_degrades_to_sentinel(tmp_path):
+    """An unmeasured dispatch-time transfer must stay inside the default
+    Mosaic regime: scaling a neighbor's full-dim blocks onto giant dims
+    yields one enormous unpipelined tile (the measured 0.37x server
+    catastrophe at 4096x8192x64/bf16) — fall back to the sentinel."""
+    db = TuneDB(path=tmp_path / "db.json")
+    # a thin-K neighbor that legitimately won with full-dim M/N blocks
+    db.put(4096, 2048, 64, KernelConfig(bm=4096, bn=2048, bk=64,
+                                        vmem_limit_bytes=48 << 20),
+           tflops=5.0, acc="bfloat16",
+           extra={"speedup_vs_xla": 1.3})
+    cfg = _neighbor_config(db, 8192, 4096, 64, "bfloat16", jnp.bfloat16)
+    assert cfg is not None and cfg.use_xla
+    # ...but an in-regime adaptation still transfers as Pallas
+    cfg2 = _neighbor_config(db, 4096, 2048, 128, "bfloat16", jnp.bfloat16)
+    if cfg2 is not None and not cfg2.use_xla:
+        assert cfg2.vmem_limit_bytes is None or \
+            cfg2.vmem_limit_bytes <= 48 << 20

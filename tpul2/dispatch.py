@@ -77,7 +77,18 @@ def _neighbor_config(db, m, n, k, acc, in_dtype,
         return KernelConfig.xla(entry.get("config", {}).get(
             "xla_variant") or "matmul")
     from tpul2.autotune.transfer import _adapt
-    return _adapt(cfg, src, (m, n, k), in_dtype)
+    adapted = _adapt(cfg, src, (m, n, k), in_dtype)
+    if adapted is not None and adapted.vmem_limit_bytes is None:
+        return adapted
+    # An UNMEASURED dispatch-time transfer must stay inside the default
+    # Mosaic regime: a raised-VMEM adapted tiling (e.g. a small neighbor's
+    # full-dim block scaled onto a giant dim -> one enormous unpipelined
+    # tile) is exactly the extrapolation the heal loop never validated —
+    # the server-mode catastrophes (0.37x at 4096x8192x64/bf16) came from
+    # this path.  Campaign-time seeding (neighbor_seed_configs) keeps the
+    # full range because every adopted config is measured and healed.
+    return KernelConfig.xla(entry.get("config", {}).get("xla_variant")
+                            or "matmul")
 
 
 def matmul(a: jax.Array, b: jax.Array, *,
