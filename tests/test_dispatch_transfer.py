@@ -104,3 +104,16 @@ def test_raised_vmem_adaptation_degrades_to_sentinel(tmp_path):
     if cfg2 is not None and not cfg2.use_xla:
         assert cfg2.vmem_limit_bytes is None or \
             cfg2.vmem_limit_bytes <= 48 << 20
+
+
+def test_measured_neighbor_outranks_static_seed(tmp_path):
+    """A statically seeded sentinel (measured=False) must not shadow a
+    measured Pallas winner that sits slightly farther away."""
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 2048, 64, KernelConfig.xla("matmul"), tflops=0.0,
+           extra={"speedup_vs_xla": 1.0, "measured": False,
+                  "scope": "transfer_static"})
+    db.put(64, 1024, 64, KernelConfig(bm=64, bn=1024, bk=64), tflops=5.0,
+           extra={"speedup_vs_xla": 1.4})
+    cfg = _neighbor_config(db, 64, 2048, 128, "float32", jnp.bfloat16)
+    assert cfg is not None and not cfg.use_xla

@@ -63,8 +63,12 @@ def _neighbor_config(db, m, n, k, acc, in_dtype,
         ratios = (max(em, m) / min(em, m), max(en, n) / min(en, n),
                   max(ek, k) / min(ek, k))
         dist = sum(abs(math.log(r)) for r in ratios)
-        if best is None or dist < best[0]:
-            best = (dist, (em, en, ek), entry)
+        # statically seeded entries (measured=False) carry no measurement;
+        # rank every measured neighbor ahead of them so a static sentinel
+        # on the grid can't shadow a nearby measured winner
+        rank = (not entry.get("measured", True), dist)
+        if best is None or rank < best[0]:
+            best = (rank, (em, en, ek), entry)
     if best is None:
         return None
     _, src, entry = best
