@@ -7,6 +7,10 @@
 # carry iqr_rel/quality columns and go through the same journaled repair +
 # never-lose healing.
 #
+# Shapes run in stratified order (proportional-fair band merge), so a
+# wall-clock truncation preserves the grid's band composition instead of
+# dropping everything expensive.
+#
 # Usage: scripts/campaign_server.sh [log_file] [chunk_size] [extra args...]
 set -u
 cd "$(dirname "$0")/.."
@@ -22,6 +26,7 @@ for i in $(seq 1 60); do
   echo "=== server chunk $i start $(date -u +%H:%M:%S) ===" >> "$LOG"
   timeout 5400 python scripts/run_suite.py eval_server \
     --dims 64 128 256 512 1024 2048 4096 8192 \
+    --order stratified \
     --accs float32 bfloat16 \
     --out 'eval_results/tpul2_v5e_{acc}_speedup_server.csv' \
     --chunk_shapes "$CHUNK" "$@" >> "$LOG" 2>&1

@@ -26,6 +26,10 @@ while true; do
 done
 
 echo "chain: offline campaign done, starting server phase $(date -u +%H:%M:%S)" >> "$SRVLOG"
+# Inter-phase gap: no TPU process is running, so the CPU-only tail seeding
+# (VERDICT r2 #4: a DB entry for every grid shape) cannot race campaign DB
+# writes here.  Doubles as the 3-min pool-clearance wait.
+python scripts/seed_tail_entries.py >> "$SRVLOG" 2>&1
 sleep 180
 
 # Phase 2: server campaign over the 8-dim sub-grid (512 shapes).

@@ -47,6 +47,20 @@ def grid(dims, max_shapes=None, max_elems=None, order="lex"):
         # cheap shapes first: maximizes completed CSV rows per wall-hour
         # (compile+measure cost scales with the problem size)
         shapes.sort(key=lambda s: (s[0] * s[1] * s[2], s))
+    elif order == "stratified":
+        # proportional-fair merge of cost-ascending per-band lists: every
+        # truncation prefix keeps the band composition of the full grid
+        # (VERDICT r2 next-round #5 — a wall-clock-truncated server
+        # campaign must not be all-cheap/all-one-band)
+        from scripts.aggregate_results import band
+        buckets = {}
+        for s in sorted(shapes, key=lambda s: (s[0] * s[1] * s[2], s)):
+            buckets.setdefault(band(f"{s[0]}x{s[1]}x{s[2]}"), []).append(s)
+        merged = [(i / len(bl), i, b, s)
+                  for b, bl in sorted(buckets.items())
+                  for i, s in enumerate(bl)]
+        merged.sort()
+        shapes = [s for _, _, _, s in merged]
     if max_shapes:
         shapes = shapes[:max_shapes]
     return shapes
