@@ -32,7 +32,29 @@ echo "chain: offline campaign done, starting server phase $(date -u +%H:%M:%S)" 
 python scripts/seed_tail_entries.py >> "$SRVLOG" 2>&1
 sleep 180
 
-# Phase 2: server campaign over the 8-dim sub-grid (512 shapes).
+# Phase 2a: repair pass over the EXISTING round-2 server sub-grid first
+# (VERDICT r2 #2: the bf16 family's -max losses live there; the journaled
+# repair drops tainted rows at chunk start and re-measures them through
+# healing — ~45 min, so the highest-value server fix lands even if the
+# wall clock dies before full coverage).
+REPAIR_MARK=/tmp/tpul2_server_repair.done
+while [ ! -f "$REPAIR_MARK" ]; do
+  if flock -n /tmp/tpul2_campaign.lock true 2>/dev/null; then
+    echo "chain: server repair pass $(date -u +%H:%M:%S)" >> "$SRVLOG"
+    flock /tmp/tpul2_campaign.lock timeout 5400 \
+      python scripts/run_suite.py eval_server \
+        --dims 64 256 1024 4096 8192 \
+        --accs float32 bfloat16 \
+        --out 'eval_results/tpul2_v5e_{acc}_speedup_server.csv' \
+        >> "$SRVLOG" 2>&1
+    rc=$?
+    if [ "$rc" -eq 0 ]; then touch "$REPAIR_MARK"; else sleep 120; fi
+  else
+    sleep 60
+  fi
+done
+
+# Phase 2b: full stratified server campaign (8-dim sub-grid, 512 shapes).
 while true; do
   if grep -q "SERVER CAMPAIGN DONE" "$SRVLOG" 2>/dev/null; then break; fi
   if flock -n /tmp/tpul2_campaign.lock true 2>/dev/null; then
