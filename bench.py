@@ -14,6 +14,14 @@ selection/publication phase split, calibrated rep sizing).
 
 Env knobs: TPUL2_BENCH_SECONDS (per-shape budget, default 3),
 TPUL2_BENCH_SHAPES ("m,n,k;m,n,k;..." override).
+
+The TPU pool behind the axon backend has documented multi-minute outage
+windows (BENCH_NOTES.md; it zeroed the round-3 artifact).  ``main`` is
+therefore a bounded retry/backoff wrapper: the measurement runs in a
+subprocess, and a failure whose output shows a backend-init/UNAVAILABLE
+signature is retried (default 5 attempts, 60 s * attempt backoff; tune
+with TPUL2_BENCH_RETRIES / TPUL2_BENCH_RETRY_BASE_S).  A subprocess is
+required because a failed backend init poisons the parent's JAX state.
 """
 
 from __future__ import annotations
@@ -23,6 +31,15 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: stderr signatures of "the pool is down", not "the code is broken"
+_TRANSIENT_SIGNATURES = (
+    "UNAVAILABLE",
+    "Unable to initialize backend 'axon'",
+    "not in the list of known backends",
+    "DEADLINE_EXCEEDED",
+    "failed to connect",
+)
 
 # Stratified sample of the reference's 10^3 evaluation grid (SURVEY.md §6),
 # mirroring its band composition so the 20-shape geomean estimates the
@@ -62,6 +79,38 @@ DEFAULT_SHAPES = [
 
 
 def main() -> int:
+    """Retry wrapper: run _measure() in a subprocess, backing off on
+    transient TPU-pool failures (VERDICT r3 next-round #2)."""
+    import subprocess
+    import time
+
+    if os.environ.get("TPUL2_BENCH_INNER") == "1":
+        return _measure()
+
+    retries = int(os.environ.get("TPUL2_BENCH_RETRIES", "5"))
+    base_s = float(os.environ.get("TPUL2_BENCH_RETRY_BASE_S", "60"))
+    env = dict(os.environ, TPUL2_BENCH_INNER="1")
+    for attempt in range(1, retries + 1):
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True)
+        sys.stderr.write(proc.stderr)
+        sys.stdout.write(proc.stdout)
+        sys.stdout.flush()
+        if proc.returncode == 0:
+            return 0
+        blob = proc.stderr + proc.stdout
+        transient = any(sig in blob for sig in _TRANSIENT_SIGNATURES)
+        if not transient or attempt == retries:
+            return proc.returncode
+        wait = base_s * attempt
+        print(f"# TPU pool transiently unavailable (attempt "
+              f"{attempt}/{retries}); retrying in {wait:.0f}s",
+              file=sys.stderr)
+        time.sleep(wait)
+    return 1
+
+
+def _measure() -> int:
     import numpy as np
 
     from tpul2.harness.bench_suite import eval_shape_lean

@@ -162,6 +162,11 @@ def _repair_csv(path: Path, threshold: float = 0.97,
         elif lossy and not inconsistent and rec["loss"] < max_loss_repairs:
             rec["loss"] += 1
             dropped.add(r["mnk"])
+        if r["mnk"] in dropped:
+            # keep the dropped row's data so a re-eval that permanently
+            # fails can restore it instead of leaving a silent coverage
+            # hole (ADVICE r3 low #4)
+            rec["last_row"] = dict(r)
     if dropped:
         keep = [r for r in rows if r["mnk"] not in dropped]
         tmp = path.with_suffix(".tmp")
@@ -173,6 +178,39 @@ def _repair_csv(path: Path, threshold: float = 0.97,
         journal_path.write_text(_json.dumps(journal, indent=1,
                                             sort_keys=True))
     return dropped
+
+
+def _restore_exhausted_rows(path: Path, failed: set) -> int:
+    """Restore repair-dropped rows whose re-eval permanently failed.
+
+    ADVICE r3 low #4: a row dropped by _repair_csv whose re-measurement
+    then raises ``max_attempts`` times lands in the .failures sidecar and
+    is treated as done — silently vanishing from the CSV.  Put the
+    journal-backed original (tainted) row back so the artifact shows the
+    truncated coverage honestly instead of hiding it."""
+    import json as _json
+
+    journal_path = Path(str(path) + ".repairs.json")
+    if not path.exists() or not journal_path.exists() or not failed:
+        return 0
+    journal = _json.loads(journal_path.read_text())
+    with path.open() as f:
+        reader = csv.DictReader(f)
+        fieldnames = reader.fieldnames
+        present = {row["mnk"] for row in reader}
+    restored = 0
+    with path.open("a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fieldnames)
+        for mnk in sorted(failed):
+            rec = journal.get(mnk)
+            if mnk in present or not rec or "last_row" not in rec:
+                continue
+            w.writerow({c: rec["last_row"].get(c, "") for c in fieldnames})
+            restored += 1
+            print(f"restored repair-dropped row {mnk} after exhausted "
+                  f"re-eval retries (kept original tainted measurement)",
+                  file=sys.stderr)
+    return restored
 
 
 def _load_failures(detail: Path, max_attempts: int = 2) -> set:
@@ -280,6 +318,8 @@ def cmd_eval(args) -> int:
     if failed:
         print(f"skipping {len(failed)} repeat-failure shapes from "
               f"{detail.with_suffix('.failures').name}", file=sys.stderr)
+        for p in outs.values():
+            _restore_exhausted_rows(p, failed)
     done_sets = {acc: _load_done(p) | failed for acc, p in outs.items()}
     pool = (_parse_shapes(args.shapes) if getattr(args, "shapes", None)
             else grid(args.dims, args.max_shapes, args.max_elems,
@@ -461,6 +501,9 @@ def cmd_eval_server(args) -> int:
                       f"server rows: {sorted(dropped)}", file=sys.stderr)
     db = default_db()
     failed = _load_failures(detail)
+    if failed:
+        for p in outs.values():
+            _restore_exhausted_rows(p, failed)
     done_sets = {acc: _load_done(p) | failed for acc, p in outs.items()}
     pool = (_parse_shapes(args.shapes) if getattr(args, "shapes", None)
             else grid(args.dims, args.max_shapes, args.max_elems,
@@ -598,7 +641,8 @@ def main(argv=None) -> int:
     e.add_argument("--repair_floor", type=float, default=0.95,
                    help="any-column loss floor for the one journaled "
                         "re-measure (mirrors the heal gate)")
-    e.add_argument("--order", choices=["lex", "cost"], default="cost")
+    e.add_argument("--order", choices=["lex", "cost", "stratified"],
+                   default="cost")
     e.add_argument("--shapes", type=str, default=None,
                    help="explicit 'm,n,k;m,n,k;...' list evaluated INSTEAD "
                         "of the dims grid (priority passes, e.g. the round-"
@@ -631,7 +675,8 @@ def main(argv=None) -> int:
                         "the heal gate: the bf16 family's systematic "
                         "-max losses are the VERDICT r2 #2 item)")
     s.add_argument("--chunk_shapes", type=int, default=None)
-    s.add_argument("--order", choices=["lex", "cost"], default="cost")
+    s.add_argument("--order", choices=["lex", "cost", "stratified"],
+                   default="cost")
     s.add_argument("--shapes", type=str, default=None,
                    help="explicit 'm,n,k;...' or '@file' list evaluated "
                         "INSTEAD of the dims grid (e.g. the stratified "

@@ -186,6 +186,9 @@ def test_bench_py_emits_json_line(tmp_path, monkeypatch):
     monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
     monkeypatch.setenv("TPUL2_BENCH_SHAPES", "16,128,128;32,128,64")
     monkeypatch.setenv("TPUL2_BENCH_TRIALS", "1")
+    # run the measurement in-process: the retry wrapper would spawn a
+    # subprocess that re-inits the (possibly axon-pinned) backend
+    monkeypatch.setenv("TPUL2_BENCH_INNER", "1")
     import tpul2.autotune.db as db_mod
     db_mod.reset_default_db()
     spec = importlib.util.spec_from_file_location(
@@ -203,6 +206,52 @@ def test_bench_py_emits_json_line(tmp_path, monkeypatch):
     assert payload["value"] > 0
     assert set(payload["shapes"]) == {"16x128x128", "32x128x64"}
     db_mod.reset_default_db()
+
+
+def test_bench_py_retries_on_transient_pool_failure(monkeypatch, capsys):
+    """VERDICT r3 next-round #2: a TPU-pool outage window (UNAVAILABLE at
+    backend init) must be retried with backoff, not zero the round
+    artifact; a real code failure must NOT be retried."""
+    import importlib.util
+    import subprocess
+    import types
+
+    monkeypatch.delenv("TPUL2_BENCH_INNER", raising=False)
+    monkeypatch.setenv("TPUL2_BENCH_RETRIES", "3")
+    monkeypatch.setenv("TPUL2_BENCH_RETRY_BASE_S", "0")
+    spec = importlib.util.spec_from_file_location(
+        "bench_main2", str(pathlib.Path(__file__).parent.parent / "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    calls = []
+
+    def fake_run_transient_then_ok(cmd, env=None, capture_output=True,
+                                   text=True):
+        calls.append(env.get("TPUL2_BENCH_INNER"))
+        if len(calls) < 3:
+            return types.SimpleNamespace(
+                returncode=1, stdout="",
+                stderr="RuntimeError: Unable to initialize backend 'axon': "
+                       "UNAVAILABLE: TPU backend setup/compile error")
+        return types.SimpleNamespace(returncode=0,
+                                     stdout='{"metric": "x"}\n', stderr="")
+
+    monkeypatch.setattr(subprocess, "run", fake_run_transient_then_ok)
+    assert mod.main() == 0
+    assert calls == ["1", "1", "1"]  # inner flag set, retried twice
+    assert '{"metric": "x"}' in capsys.readouterr().out
+
+    calls.clear()
+
+    def fake_run_hard_failure(cmd, env=None, capture_output=True, text=True):
+        calls.append(1)
+        return types.SimpleNamespace(returncode=1, stdout="",
+                                     stderr="TypeError: bad code")
+
+    monkeypatch.setattr(subprocess, "run", fake_run_hard_failure)
+    assert mod.main() == 1
+    assert len(calls) == 1  # no retry on a non-transient failure
 
 
 def test_eval_shape_server_lean_end_to_end():

@@ -96,3 +96,35 @@ def test_winning_pallas_entry_untouched(tmp_path):
                                      jnp.bfloat16, res)
     assert demoted == []
     assert not db.get_entry(64, 2048, 64, "float32")["config"]["use_xla"]
+
+
+def test_refresh_promotes_statically_seeded_sentinel(tmp_path):
+    # ADVICE r3 low #3: a statically seeded entry (scope 'transfer_static',
+    # measured=False) that receives a real publication-phase measurement
+    # must be promoted, or dispatch._neighbor_config ranks it behind every
+    # measured neighbor forever.
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(128, 128, 128, KernelConfig.xla("dot_nn"), tflops=1.0,
+           extra={"speedup_vs_xla": 1.0, "measured": False,
+                  "scope": "transfer_static"})
+    res = _res(cand_speedup=1.0)
+    demoted = heal_entries_from_eval(db, 128, 128, 128, ["float32"],
+                                     jnp.bfloat16, res)
+    assert demoted == []
+    entry = db.get_entry(128, 128, 128, "float32")
+    assert entry["measured"] is True
+    assert entry["scope"] == "transfer"
+
+
+def test_refresh_promotes_statically_seeded_pallas(tmp_path):
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 2048, 64, KernelConfig(bm=64, bn=2048, bk=64), tflops=1.0,
+           extra={"speedup_vs_xla": 1.0, "measured": False,
+                  "scope": "transfer_static"})
+    res = _res(cand_speedup=1.2)
+    demoted = heal_entries_from_eval(db, 64, 2048, 64, ["float32"],
+                                     jnp.bfloat16, res)
+    assert demoted == []
+    entry = db.get_entry(64, 2048, 64, "float32")
+    assert entry["measured"] is True and entry["scope"] == "transfer"
+    assert abs(entry["speedup_vs_xla"] - 1.2) < 1e-9

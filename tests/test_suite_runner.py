@@ -315,3 +315,64 @@ def test_seed_tail_entries_full_grid(tmp_path, monkeypatch):
     e2 = db.get_entry(16384, 16384, 16384, "float32")
     assert e2["measured"] is False and e2["scope"] == "transfer_static"
     assert e2["speedup_vs_xla"] == 1.0
+
+
+def test_cli_accepts_stratified_order(tmp_path, monkeypatch):
+    """ADVICE r3 high #1: the driver scripts pass --order stratified; the
+    argparse surface (not just grid()) must accept it for BOTH eval and
+    eval_server, or every campaign chunk dies with rc=2."""
+    import tpul2.harness.bench_suite as bs
+
+    monkeypatch.setattr(bs, "eval_shape_lean",
+                        lambda m, n, k, **kw: _fake_lean(m, n, k, **kw))
+
+    def fake_server(m, n, k, accs=("float32",), **kw):
+        res = _fake_lean(m, n, k, accs=accs)
+        res["mode"] = "server"
+        res["per_func"] = {"xla_matmul": {"ms": 1.0, "iqr_ms": 0.05,
+                                          "tflops": 1.0, "p99_ms": 1.2}}
+        res["quality"] = "ok"
+        return res
+
+    monkeypatch.setattr(bs, "eval_shape_server_lean", fake_server)
+
+    out = tmp_path / "strat_{acc}.csv"
+    rc = rs.main(["eval", "--dims", "64", "128", "--max_shapes", "3",
+                  "--order", "stratified", "--accs", "float32",
+                  "--no_mini_tune", "--out", str(out)])
+    assert rc == 0
+    with (tmp_path / "strat_float32.csv").open() as f:
+        assert len(list(csv.DictReader(f))) == 3
+
+    out2 = tmp_path / "strat_server_{acc}.csv"
+    rc = rs.main(["eval_server", "--dims", "64", "128", "--max_shapes", "2",
+                  "--order", "stratified", "--accs", "float32",
+                  "--out", str(out2)])
+    assert rc == 0
+    with (tmp_path / "strat_server_float32.csv").open() as f:
+        assert len(list(csv.DictReader(f))) == 2
+
+
+def test_restore_exhausted_rows(tmp_path):
+    """ADVICE r3 low #4: a repair-dropped row whose re-eval permanently
+    fails must be restored from the journal backup, not silently vanish."""
+    p = tmp_path / "suite.csv"
+    with p.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=rs.CSV_COLUMNS)
+        w.writeheader()
+        base = {c: "1.05" for c in rs.CSV_COLUMNS[1:]}
+        w.writerow(dict(base, mnk="64x64x64"))
+        w.writerow(dict(base, mnk="128x512x1024",
+                        **{"jnp.matmul": "0.80"}))  # loss -> dropped
+    dropped = rs._repair_csv(p, threshold=0.97)
+    assert dropped == {"128x512x1024"}
+    with p.open() as f:
+        assert len(list(csv.DictReader(f))) == 1
+    # re-eval failed twice -> the shape is in the exhausted-failures set
+    restored = rs._restore_exhausted_rows(p, {"128x512x1024"})
+    assert restored == 1
+    with p.open() as f:
+        rows = {r["mnk"]: r for r in csv.DictReader(f)}
+    assert rows["128x512x1024"]["jnp.matmul"] == "0.80"
+    # idempotent: already present -> nothing appended
+    assert rs._restore_exhausted_rows(p, {"128x512x1024"}) == 0

@@ -333,6 +333,15 @@ def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
                 entry["speedup_vs_xla"] = (per_func["xla_matmul"]["ms"]
                                            / per_func[name]["ms"])
                 entry["timing_rev"] = TIMING_REV
+                # A statically seeded entry (seed_tail_entries: scope
+                # 'transfer_static', measured=False) just received a real
+                # publication-phase measurement — promote it so
+                # dispatch._neighbor_config ranks it with measured
+                # neighbors (ADVICE r3 low #3).
+                if not entry.get("measured", True):
+                    entry["measured"] = True
+                    if entry.get("scope") == "transfer_static":
+                        entry["scope"] = "transfer"
                 changed = True
         elif entry is not None and f"tpul2_{acc}" in per_func:
             # Pallas entry that did NOT lose: refresh its bookkeeping from
@@ -345,6 +354,10 @@ def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
             entry["speedup_vs_xla"] = (per_func["xla_matmul"]["ms"]
                                        / cand["ms"])
             entry["timing_rev"] = TIMING_REV
+            if not entry.get("measured", True):
+                entry["measured"] = True
+                if entry.get("scope") == "transfer_static":
+                    entry["scope"] = "transfer"
             changed = True
     if changed:
         db.save()
