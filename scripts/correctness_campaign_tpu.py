@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""On-chip correctness campaign: every tuned Pallas config through the 0/1
+gate ON THE REAL TPU (VERDICT r3 next-round #8).
+
+The interpret-mode campaign (scripts/correctness_campaign.py) is the
+sanitizer pass — out-of-bounds block reads are hard errors there — but the
+reference's gate always runs on the device that serves the kernels
+(zero_one_correctness_check.py:192-271), and 12 giant configs exceeded the
+interpret cost cap and were never checked anywhere.  This tool runs the
+full DB of non-sentinel winners on the TPU with NO cost cap.
+
+Device-side methodology (the host-truth gate of correctness.py would pull
+full outputs through the tunnel — a 16384^2 f32 result is ~1 GB, minutes
+per transfer): truth is an INDEPENDENT on-device f32/HIGHEST dot_general on
+0/1 inputs (integer-exact below the family bound — the same trust anchor as
+the tuner's finalist screen, autotune/search.py finish()); the comparison
+reduces to ONE scalar per (config, iteration).  The guard-band canary runs
+the padded kernel and reduces the pad region on device the same way.
+
+Resumable: results append to a JSONL; already-checked (mnk, acc) pairs are
+skipped.  A summary JSON is (re)written at the end of every run.
+
+  timeout 3600 python scripts/correctness_campaign_tpu.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--db", default="tpul2/data/tunedb_v5e.json")
+    ap.add_argument("--out",
+                    default="eval_results/correctness_campaign_tpu.json")
+    ap.add_argument("--jsonl",
+                    default="eval_results/correctness_campaign_tpu.jsonl")
+    ap.add_argument("--iterations", type=int, default=2)
+    ap.add_argument("--budget_s", type=float, default=3300.0,
+                    help="stop starting new configs past this wall budget "
+                         "(resume on the next run)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpul2.autotune.db import TuneDB
+    from tpul2.config import KernelConfig
+    from tpul2.dispatch import matmul
+    from tpul2.harness.correctness import EXACT_BOUND, zero_one_density
+    from tpul2.utils.platform import enable_compilation_cache, on_tpu
+
+    if not on_tpu():
+        print("correctness_campaign_tpu: not on a TPU backend — refusing "
+              "(use scripts/correctness_campaign.py for the interpret "
+              "sweep)", file=sys.stderr)
+        return 2
+    enable_compilation_cache()
+
+    db = TuneDB(path=args.db).load()
+    jsonl = Path(args.jsonl)
+    done = set()
+    if jsonl.exists():
+        for line in jsonl.read_text().splitlines():
+            try:
+                r = json.loads(line)
+                done.add((r["mnk"], r["acc"]))
+            except Exception:
+                pass
+
+    todo = [((m, n, k), acc, entry)
+            for (m, n, k), acc, entry in sorted(db.items())
+            if not (entry.get("config") or {}).get("use_xla")
+            and (f"{m}x{n}x{k}", acc) not in done]
+    print(f"on-TPU correctness campaign: {len(todo)} Pallas configs to "
+          f"check ({len(done)} already done)", file=sys.stderr)
+
+    t0 = time.time()
+    jsonl.parent.mkdir(parents=True, exist_ok=True)
+    n_fail = 0
+    for (m, n, k), acc, entry in todo:
+        if time.time() - t0 > args.budget_s:
+            print(f"budget reached with "
+                  f"{len(todo) - len(done)} configs left; resumable",
+                  file=sys.stderr)
+            break
+        cfg = KernelConfig(**entry["config"])
+        fam = "bfloat16" if acc == "bfloat16" else "float32"
+        dens = zero_one_density(k, fam)
+        bound = float(EXACT_BOUND[fam])
+
+        def gate(seed, _cfg=cfg, _acc=acc, _dens=dens, _bound=bound):
+            @jax.jit
+            def prog(key):
+                ka, kb = jax.random.split(key)
+                a = (jax.random.uniform(ka, (m, k)) < _dens).astype(
+                    jnp.bfloat16)
+                b = (jax.random.uniform(kb, (k, n)) < _dens).astype(
+                    jnp.bfloat16)
+                b_t = jnp.swapaxes(b, 0, 1)
+                truth = jax.lax.dot_general(
+                    a.astype(jnp.float32), b.astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                out = matmul(a, b, acc=_acc, config=_cfg, b_t=b_t,
+                             out_dtype=jnp.float32, interpret=False)
+                d = jnp.abs(out - truth)
+                d = jnp.where(jnp.abs(truth) <= _bound, d, 0.0)
+                finite = jnp.all(jnp.isfinite(out))
+                return jnp.where(finite, jnp.max(d), jnp.inf)
+            return float(jax.device_get(prog(jax.random.key(seed))))
+
+        def canary(seed, _cfg=cfg, _dens=dens):
+            """Guard-band check, on device: the padded kernel output's pad
+            rows/cols must be exactly 0 (reference 'memory overflow'
+            canary, zero_one_correctness_check.py:98-149)."""
+            from tpul2.ops.matmul import pallas_matmul_padded
+            mp = -(-m // _cfg.bm) * _cfg.bm
+            np_ = -(-n // _cfg.bn) * _cfg.bn
+            if mp == m and np_ == n:
+                return 0.0  # no pad region exists for this tiling
+
+            @jax.jit
+            def prog(key):
+                ka, kb = jax.random.split(key)
+                a = (jax.random.uniform(ka, (m, k)) < _dens).astype(
+                    jnp.bfloat16)
+                b = (jax.random.uniform(kb, (k, n)) < _dens).astype(
+                    jnp.bfloat16)
+                out = pallas_matmul_padded(a, b, _cfg,
+                                           out_dtype=jnp.float32)
+                rows = (jnp.max(jnp.abs(out[m:, :]))
+                        if out.shape[0] > m else 0.0)
+                cols = (jnp.max(jnp.abs(out[:, n:]))
+                        if out.shape[1] > n else 0.0)
+                return jnp.maximum(rows, cols)
+            return float(jax.device_get(prog(jax.random.key(seed))))
+
+        t_cfg = time.time()
+        try:
+            diffs = [gate(s) for s in range(args.iterations)]
+            pad_max = canary(7)
+            ok = all(d == 0.0 for d in diffs) and pad_max == 0.0
+            rec = {"mnk": f"{m}x{n}x{k}", "acc": acc,
+                   "diffs": diffs, "pad_max": pad_max, "pass": ok,
+                   "elapsed_s": round(time.time() - t_cfg, 1)}
+        except Exception as e:
+            rec = {"mnk": f"{m}x{n}x{k}", "acc": acc, "pass": False,
+                   "error": f"{type(e).__name__}: {str(e)[:200]}",
+                   "elapsed_s": round(time.time() - t_cfg, 1)}
+        if not rec["pass"]:
+            n_fail += 1
+        with jsonl.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"{m}x{n}x{k}/{acc}: "
+              f"{'PASS' if rec['pass'] else 'FAIL ' + str(rec)} "
+              f"({rec['elapsed_s']}s)", file=sys.stderr)
+
+    # summary over the FULL jsonl (all runs)
+    recs = [json.loads(line) for line in jsonl.read_text().splitlines()]
+    total_pallas = sum(1 for _, _, e in db.items()
+                       if not (e.get("config") or {}).get("use_xla"))
+    summary = {
+        "checked": len(recs),
+        "total_pallas_entries": total_pallas,
+        "passed": sum(r["pass"] for r in recs),
+        "failed": [r for r in recs if not r["pass"]],
+        "skipped": total_pallas - len(recs),
+        "iterations": args.iterations,
+        "device": "tpu",
+    }
+    Path(args.out).write_text(json.dumps(
+        {"summary": summary, "results": recs}, indent=1))
+    print(f"on-TPU correctness: {summary['passed']}/{summary['checked']} "
+          f"pass ({summary['skipped']} not yet run)", file=sys.stderr)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,3 +128,158 @@ def test_invalid_config_raises_value_error():
     a = jnp.ones((64, 64), jnp.bfloat16)
     with pytest.raises(ValueError, match="invalid kernel config"):
         tpul2.matmul(a, a, config=KernelConfig(bm=13, bn=128, bk=128))
+
+
+# ---------------------------------------------------------------------------
+# per-mode dispatch (VERDICT r3 weak #3): server sub-entries win under
+# mode='server' and are invisible to offline dispatch.
+# ---------------------------------------------------------------------------
+
+def test_resolve_config_server_mode(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    offline = KernelConfig(bm=64, bn=128, bk=128)
+    db.put(64, 128, 128, offline, tflops=1.0)
+    db.put_server(64, 128, 128, KernelConfig.xla("dot_tn"))
+    assert resolve_config(64, 128, 128) == offline
+    srv = resolve_config(64, 128, 128, mode="server")
+    assert srv.use_xla and srv.xla_variant == "dot_tn"
+    # no server sub-entry -> server mode falls back to the offline chain
+    db.put(64, 256, 128, offline, tflops=1.0)
+    assert resolve_config(64, 256, 128, mode="server") == offline
+
+
+def test_server_candidate_dispatches_server_winner(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    db.put(32, 128, 64, KernelConfig(bm=32, bn=128, bk=64), tflops=1.0)
+    db.put_server(32, 128, 64, KernelConfig.xla("sameacc_nn"),
+                  acc="bfloat16")
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2, (32, 64)), jnp.bfloat16)
+    b = jnp.asarray(rng.integers(0, 2, (64, 128)), jnp.bfloat16)
+    b_t = jnp.swapaxes(b, 0, 1)
+    out = candidate_fn("bfloat16", mode="server")(a, b, b_t)
+    np.testing.assert_array_equal(np.asarray(out, np.float32), _ref(a, b))
+    out2 = candidate_fn("bfloat16")(a, b, b_t)
+    np.testing.assert_array_equal(np.asarray(out2, np.float32), _ref(a, b))
+
+
+# ---------------------------------------------------------------------------
+# epoch guard (VERDICT r3 next-round #9): a DB mutation invalidates the
+# jitted candidates' trace caches without a manual refresh_candidates().
+# ---------------------------------------------------------------------------
+
+def test_candidate_sees_new_config_without_manual_refresh(tmp_path,
+                                                          monkeypatch):
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    calls = []
+    import tpul2.dispatch as dispatch_mod
+    real_resolve = dispatch_mod.resolve_config
+
+    def spy(m, n, k, acc="float32", in_dtype=jnp.bfloat16, mode="offline"):
+        cfg = real_resolve(m, n, k, acc, in_dtype, mode=mode)
+        calls.append(cfg)
+        return cfg
+
+    monkeypatch.setattr(dispatch_mod, "resolve_config", spy)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2, (16, 64)), jnp.bfloat16)
+    b = jnp.asarray(rng.integers(0, 2, (64, 128)), jnp.bfloat16)
+    b_t = jnp.swapaxes(b, 0, 1)
+    fn = candidate_fn("float32")
+    fn(a, b, b_t)
+    n_first = len(calls)
+    assert n_first >= 1
+    fn(a, b, b_t)  # no DB change -> served from the jit cache, no re-trace
+    assert len(calls) == n_first
+    # tune the shape (db.put bumps the epoch) -> next call re-resolves
+    db.put(16, 128, 64, KernelConfig.xla("dot_tn"), tflops=1.0)
+    fn(a, b, b_t)
+    assert len(calls) > n_first
+    assert calls[-1].use_xla and calls[-1].xla_variant == "dot_tn"
+
+
+# ---------------------------------------------------------------------------
+# native dispatch path (VERDICT r3 next-round #6): exact-key resolution is
+# served by the C++ cache when the binary sidecar mirrors the JSON.
+# ---------------------------------------------------------------------------
+
+def test_dispatch_hits_native_cache(tmp_path, monkeypatch):
+    pytest.importorskip("tpul2.native")
+    from tpul2.native import native_available
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    cfg = KernelConfig(bm=64, bn=256, bk=128, rhs_layout="nk",
+                       grid_order="nm")
+    db.put(64, 256, 128, cfg, tflops=3.0)
+    db.save()  # writes the .bin sidecar and re-arms the native fast path
+    db_mod.reset_default_db()
+    db2 = db_mod.default_db()
+    assert db2.native_hits == 0
+    got = resolve_config(64, 256, 128)
+    assert got == cfg
+    assert db2.native_hits == 1  # exact-key hit came from the C++ cache
+    # a mutation un-arms the native path until the next save
+    db2.put(64, 256, 128, KernelConfig.xla("dot_nn"), tflops=1.0)
+    got2 = resolve_config(64, 256, 128)
+    assert got2.use_xla and db2.native_hits == 1
+
+
+def test_native_cache_roundtrips_entire_shipped_db():
+    """Every shipped v5e TuneDB config must survive the native codec
+    bit-for-bit — the dispatch hot path now serves exact-key hits from it."""
+    pytest.importorskip("tpul2.native")
+    from tpul2.native import NativeTuneCache, native_available
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    import json
+    from pathlib import Path
+    path = (Path(__file__).resolve().parent.parent / "tpul2" / "data"
+            / "tunedb_v5e.json")
+    if not path.exists():
+        pytest.skip("no shipped DB")
+    entries = json.loads(path.read_text())["entries"]
+    nc = NativeTuneCache()
+    for key, e in entries.items():
+        mnk, acc, dt = key.split("/")
+        m, n, k = map(int, mnk.split("_"))
+        cfg = KernelConfig(**e["config"])
+        nc.put(m, n, k, cfg, acc=acc, in_dtype=dt)
+        assert nc.get(m, n, k, acc=acc, in_dtype=dt) == cfg, key
+
+
+def test_nolhs_sentinel_dispatch_and_options(tmp_path, monkeypatch):
+    """Round-4 flag variants: a 'nolhs_*' sentinel dispatches the plain
+    f32-acc dot (numerics identical); the harness wrapper carries the
+    program-scope compiler options for the timing chain (TPU-only)."""
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    db.put(32, 128, 64, KernelConfig.xla("nolhs_tn"), tflops=1.0)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2, (32, 64)), jnp.bfloat16)
+    b = jnp.asarray(rng.integers(0, 2, (64, 128)), jnp.bfloat16)
+    b_t = jnp.swapaxes(b, 0, 1)
+    out = candidate_fn("float32")(a, b, b_t)
+    np.testing.assert_array_equal(np.asarray(out, np.float32), _ref(a, b))
+
+    from tpul2.harness.bench_suite import _candidate_with_options
+    from tpul2.ops.baselines import NOLHS_OPTIONS
+    fn = _candidate_with_options("float32", 32, 128, 64, jnp.bfloat16)
+    assert fn._compiler_options == NOLHS_OPTIONS
+    # off-TPU the chain must drop the TPU-only options and still run
+    from tpul2.harness import bench_utils as bu
+    run = bu.make_chained_runner(fn, 32, 128, 64, jnp.bfloat16, reps=3)
+    assert run(a, b, b_t).shape == (32, 64)
+    # a plain sentinel gets the bare candidate (no wrapper)
+    db.put(32, 128, 64, KernelConfig.xla("dot_nn"), tflops=1.0)
+    fn2 = _candidate_with_options("float32", 32, 128, 64, jnp.bfloat16)
+    assert getattr(fn2, "_compiler_options", None) is None

@@ -59,7 +59,7 @@ def test_eval_csv_written(tmp_path, monkeypatch):
         assert r["XLA-highest-max"] == "1.4"
         assert r["XLA-AutoTuned-max"] == "1.05"
     # variance sidecar written
-    assert (tmp_path / "suite_float32_detail.jsonl").exists()
+    assert (tmp_path / "suite_all_detail.jsonl").exists()
 
     # resume: second run skips all existing rows
     calls.clear()
@@ -101,7 +101,7 @@ def test_eval_failure_skips_and_continues_by_default(tmp_path, monkeypatch):
                   "--no_mini_tune", "--out", str(out)])
     assert rc == 0
     assert len(calls) == 2
-    fail_file = tmp_path / "suite_float32_detail.failures"
+    fail_file = tmp_path / "suite_all_detail.failures"
     assert fail_file.exists() and "64x64x64" in fail_file.read_text()
 
 

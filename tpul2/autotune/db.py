@@ -47,6 +47,16 @@ class TuneDB:
         #: (acc, dtype) -> {octave bucket (log2 m, log2 n, log2 k) ->
         #: [((m, n, k), entry), ...]}; rebuilt lazily after any mutation.
         self._octave_index: Optional[dict] = None
+        #: Monotonic mutation counter (VERDICT r3 next-round #9): the jitted
+        #: dispatch candidates stamp the epoch they traced under and drop
+        #: their jit caches when it moves, so an external consumer that
+        #: tunes a shape and then calls ``cuda_l2_tpu_*`` sees the new
+        #: config without a manual ``refresh_candidates()``.
+        self.epoch = 0
+        # native fast-lookup mirror state (see native_get)
+        self._native_cache = None
+        self._native_tried = False
+        self._mutated = False
 
     # ---- persistence ----
     def load(self) -> "TuneDB":
@@ -56,6 +66,10 @@ class TuneDB:
                 self._entries = raw.get("entries", {})
             self._loaded = True
             self._octave_index = None
+            self.epoch += 1
+            self._native_cache = None
+            self._native_tried = False
+            self._mutated = False
         return self
 
     def save(self) -> None:
@@ -67,6 +81,12 @@ class TuneDB:
                 indent=1, sort_keys=True))
             tmp.replace(self.path)
         self._save_native_sidecar()
+        with self._lock:
+            # the sidecar now mirrors the entries again: re-arm the native
+            # fast path (next native_get reloads the fresh .bin)
+            self._mutated = False
+            self._native_cache = None
+            self._native_tried = False
 
     def _save_native_sidecar(self) -> None:
         """Mirror into the C++ binary cache (tpul2.native) — the fast-load
@@ -101,8 +121,50 @@ class TuneDB:
             self.load()
 
     # ---- access ----
+    #: exact-key lookups served by the C++ cache (observability + tests)
+    native_hits: int = 0
+
+    def native_get(self, m: int, n: int, k: int, acc: str = "float32",
+                   in_dtype=jnp.bfloat16) -> Optional[KernelConfig]:
+        """Exact-key lookup through the C++ open-addressing cache.
+
+        The dispatch hot path (dispatch.resolve_config) calls this FIRST
+        and falls back to the JSON entries on a miss — the role the
+        reference's compiled pybind dispatch layer plays
+        (pybind/hgemm_a100_fp32.cc:29-52; VERDICT r3 next-round #6).
+        Correctness guard: the binary sidecar is consulted only while it
+        provably mirrors the JSON (no in-process mutation since the last
+        save, sidecar at least as new as the JSON on disk); anywhere else
+        it returns None and the JSON source of truth answers."""
+        with self._lock:
+            if self._mutated:
+                return None
+            if not self._native_tried:
+                self._native_tried = True
+                try:
+                    from tpul2.native import native_available
+                    sidecar = self.path.with_suffix(".bin")
+                    if (native_available() and sidecar.exists()
+                            and (not self.path.exists()
+                                 or sidecar.stat().st_mtime
+                                 >= self.path.stat().st_mtime)):
+                        from tpul2.native import NativeTuneCache
+                        self._native_cache = NativeTuneCache().load(sidecar)
+                except Exception:
+                    self._native_cache = None
+            nc = self._native_cache
+        if nc is None:
+            return None
+        cfg = nc.get(m, n, k, acc=acc, in_dtype=jnp.dtype(in_dtype).name)
+        if cfg is not None:
+            self.native_hits += 1
+        return cfg
+
     def get(self, m: int, n: int, k: int, acc: str = "float32",
             in_dtype=jnp.bfloat16) -> Optional[KernelConfig]:
+        cfg = self.native_get(m, n, k, acc, in_dtype)
+        if cfg is not None:
+            return cfg
         self._ensure()
         e = self._entries.get(_key(m, n, k, acc, in_dtype))
         return KernelConfig(**e["config"]) if e else None
@@ -188,6 +250,42 @@ class TuneDB:
         with self._lock:
             self._entries[_key(m, n, k, acc, in_dtype)] = entry
             self._octave_index = None
+            self.epoch += 1
+            self._mutated = True
+
+    def put_server(self, m: int, n: int, k: int, config: KernelConfig,
+                   acc: str = "float32", in_dtype=jnp.bfloat16,
+                   extra: Optional[dict] = None) -> None:
+        """Store a SERVER-regime winner as a sub-entry of the shape's entry.
+
+        Offline and server (Poisson-arrival) regimes select different
+        winners — round 3's server campaign demonstrated that offline-healed
+        sentinels do not transfer (VERDICT r3 weak #3) and, worse, its heal
+        loop was overwriting offline-measured winners with server-regime
+        choices.  Per-mode storage keeps the two measurement regimes from
+        clobbering each other: dispatch(mode='server') prefers this
+        sub-entry; everything else ignores it."""
+        self._ensure()
+        import dataclasses
+        sub = {"config": dataclasses.asdict(config)}
+        if extra:
+            sub.update(extra)
+        with self._lock:
+            key = _key(m, n, k, acc, in_dtype)
+            entry = self._entries.setdefault(key,
+                                             {"config": dict(sub["config"]),
+                                              "tflops": 0.0,
+                                              "measured": False,
+                                              "scope": "server_only"})
+            entry["server"] = sub
+            self.epoch += 1
+            self._mutated = True
+
+    def get_server_entry(self, m: int, n: int, k: int,
+                         acc: str = "float32",
+                         in_dtype=jnp.bfloat16) -> Optional[dict]:
+        e = self.get_entry(m, n, k, acc, in_dtype)
+        return e.get("server") if e else None
 
     def __len__(self) -> int:
         self._ensure()

@@ -65,11 +65,15 @@ A_BLOCK_CAP = 2 * 1024 * 1024
 VMEM_LIMIT_FLOOR = 32 * 1024 * 1024
 
 #: XLA sentinel formulations, ordered by native flag id (tpul2/native
-#: encodes the variant in TL2Config.flags bits 3-5; id 0 = 'matmul' keeps
-#: round-1 sidecars decoding unchanged).  Implementations live in
-#: tpul2.ops.baselines.XLA_VARIANT_FNS.
+#: encodes the variant in TL2Config.flags bits 3-5 + bit 10; id 0 =
+#: 'matmul' keeps round-1 sidecars decoding unchanged).  Implementations
+#: live in tpul2.ops.baselines.XLA_VARIANT_FNS.  The 'nolhs_*' pair
+#: (round 4, VERDICT r3 next-round #7) are compiler-flag variants: the
+#: plain f32-acc dot compiled with the latency-hiding scheduler disabled —
+#: measured the one consistently winning flag set on v5e
+#: (eval_results/probe_xla_flags_r4.jsonl).
 XLA_VARIANTS = ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
-                "sameacc_nn", "sameacc_tn")
+                "sameacc_nn", "sameacc_tn", "nolhs_nn", "nolhs_tn")
 
 #: Sentinel variants competing in each accumulator family.  The float32
 #: family (reference F32F16F16F32: C accumulated AND delivered in f32) may
@@ -83,7 +87,8 @@ XLA_VARIANTS = ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
 #: screen (now acc-based, sums up to 2^24 for f32) is defense in depth.
 #: The bfloat16 family (F16F16F16F16 analogue) admits every formulation.
 XLA_VARIANTS_FOR_ACC = {
-    "float32": ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn"),
+    "float32": ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
+                "nolhs_nn", "nolhs_tn"),
     "bfloat16": XLA_VARIANTS,
 }
 
@@ -93,7 +98,11 @@ XLA_VARIANTS_FOR_ACC = {
 #: 3 = XLA-variant sentinels.  The round-3 masked-edge axis does NOT bump
 #: the revision: on block-dividing (grid) shapes mask ≡ pad, so existing
 #: entries are not stale — the axis only widens the space for unaligned
-#: off-grid shapes.
+#: off-grid shapes.  The round-4 'nolhs_*' flag variants do not bump it
+#: either: they compete in every eval through the widened AutoTuned
+#: variant set, and the never-lose heal loop adopts them wherever a stored
+#: winner measurably loses to them — a mass re-tune would redo that work
+#: at ~100x the compile cost.
 SPACE_REV = 3
 
 

@@ -26,17 +26,32 @@ from tpul2.ops.matmul import pallas_matmul
 
 
 def resolve_config(m: int, n: int, k: int, acc: str = "float32",
-                   in_dtype=jnp.bfloat16) -> KernelConfig:
+                   in_dtype=jnp.bfloat16,
+                   mode: str = "offline") -> KernelConfig:
     """Tuning-DB lookup → neighbor transfer → heuristic (never fails).
 
-    The middle step has no reference counterpart (a missing .cu file there
-    means no kernel at all): an untuned shape inherits the adapted config
-    of its nearest tuned neighbor — a Pallas winner only when it won by a
-    real margin (>=5%), the neighbor's sentinel variant otherwise — so
-    tuned performance generalizes off-grid.  Distant shapes (beyond 2x on
-    any dim) use the static heuristic as before."""
+    Exact-key hits are served by the native C++ cache first
+    (TuneDB.native_get — the reference's compiled dispatch layer role,
+    pybind/hgemm_a100_fp32.cc:29-52), falling back to the JSON entries.
+
+    ``mode='server'`` prefers a shape's server-regime winner (the
+    ``server`` sub-entry written by the server campaign's heal loop) —
+    offline winners demonstrably do not always transfer to the
+    Poisson-arrival regime (VERDICT r3 weak #3).
+
+    The neighbor-transfer middle step has no reference counterpart (a
+    missing .cu file there means no kernel at all): an untuned shape
+    inherits the adapted config of its nearest tuned neighbor — a Pallas
+    winner only when it won by a real margin (>=5%), the neighbor's
+    sentinel variant otherwise — so tuned performance generalizes
+    off-grid.  Distant shapes (beyond 2x on any dim) use the static
+    heuristic as before."""
     from tpul2.autotune.db import default_db
     db = default_db()
+    if mode == "server":
+        sub = db.get_server_entry(m, n, k, acc, in_dtype)
+        if sub is not None:
+            return KernelConfig(**sub["config"])
     cfg = db.get(m, n, k, acc, in_dtype)
     if cfg is not None:
         return cfg
@@ -102,7 +117,8 @@ def matmul(a: jax.Array, b: jax.Array, *,
            interpret: Optional[bool] = None,
            bias: Optional[jax.Array] = None,
            activation: Optional[str] = None,
-           b_t: Optional[jax.Array] = None) -> jax.Array:
+           b_t: Optional[jax.Array] = None,
+           mode: str = "offline") -> jax.Array:
     """Tuned C = act(A @ B + bias).  a: (M, K), b: (K, N), bias: (N,)|None.
 
     acc: 'float32' (reference F32F16F16F32 family) or 'bfloat16'
@@ -110,6 +126,8 @@ def matmul(a: jax.Array, b: jax.Array, *,
     bias/activation fuse into the kernel epilogue.  b_t: optional
     pre-transposed (N, K) RHS — consumed for free when the tuned config's
     rhs_layout is 'nk' (the reference's b_col_major argument).
+    mode: 'offline' | 'server' — which measurement regime's tuned winner
+    to dispatch (server winners live in per-shape ``server`` sub-entries).
     """
     if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
         raise ValueError(
@@ -118,7 +136,7 @@ def matmul(a: jax.Array, b: jax.Array, *,
     m, k = a.shape
     n = b.shape[1]
     if config is None:
-        config = resolve_config(m, n, k, acc, a.dtype)
+        config = resolve_config(m, n, k, acc, a.dtype, mode=mode)
     if config.use_xla:
         # Sentinel: the tuned XLA formulation (config.XLA_VARIANTS).  TN
         # variants consume b_t for free when the caller supplies it (the
@@ -193,30 +211,71 @@ def batched_matmul(a: jax.Array, b: jax.Array, *,
                                  interpret=interpret)
 
 
-@jax.jit
-def cuda_l2_tpu_f32(a, b, b_t):
-    """Candidate entry, f32-accumulator family (harness ABI: (a, b, b_t)).
+class _Candidate:
+    """Jitted candidate entry with a TuneDB epoch guard.
 
     Jitted end-to-end: config resolution happens once per shape at trace
     time (the analogue of the reference's build-time source selection), so
     the steady-state call is a single compiled dispatch like the baselines.
     Both RHS layouts arrive (the reference passes b AND b_col_major); the
-    tuned config decides which one the kernel consumes."""
-    return matmul(a, b, acc="float32", b_t=b_t)
+    tuned config decides which one the kernel consumes.
+
+    The epoch guard (VERDICT r3 next-round #9): trace-time resolution
+    means a jit cache built before a tuning run would dispatch stale
+    configs forever.  Each call compares the default TuneDB's mutation
+    epoch against the one this wrapper last traced under and drops the
+    jit cache on mismatch — so ``tune_shape(...); cuda_l2_tpu_f32(...)``
+    sees the new winner without a manual ``refresh_candidates()``.  The
+    check is one attribute read per *Python-level* call (traced calls
+    inline the already-resolved kernel and skip it, like any closed-over
+    constant)."""
+
+    def __init__(self, acc: str, mode: str = "offline"):
+        self.acc, self.mode = acc, mode
+        self._epoch = None
+
+        def _impl(a, b, b_t):
+            return matmul(a, b, acc=acc, b_t=b_t, mode=mode)
+        _impl.__name__ = f"cuda_l2_tpu_{acc}_{mode}"
+        self._jit = jax.jit(_impl)
+        self.__name__ = _impl.__name__
+
+    def __call__(self, a, b, b_t):
+        from tpul2.autotune.db import default_db
+        epoch = default_db().epoch
+        if self._epoch != epoch:
+            self._jit.clear_cache()
+            self._epoch = epoch
+        return self._jit(a, b, b_t)
+
+    def clear_cache(self) -> None:
+        self._jit.clear_cache()
+        self._epoch = None
 
 
-@jax.jit
-def cuda_l2_tpu_bf16(a, b, b_t):
-    """Candidate entry, bf16-accumulator family (harness ABI: (a, b, b_t))."""
-    return matmul(a, b, acc="bfloat16", b_t=b_t)
+#: Candidate entries, f32/bf16-accumulator families (harness ABI:
+#: (a, b, b_t) — SURVEY.md C13's cuda_l2_<dev>_<acc> symbols).
+cuda_l2_tpu_f32 = _Candidate("float32")
+cuda_l2_tpu_bf16 = _Candidate("bfloat16")
+#: Server-regime twins: dispatch prefers each shape's server sub-entry
+#: (resolve_config(mode='server')); the server harness measures THESE.
+cuda_l2_tpu_f32_server = _Candidate("float32", "server")
+cuda_l2_tpu_bf16_server = _Candidate("bfloat16", "server")
+
+_CANDIDATES = {
+    ("float32", "offline"): cuda_l2_tpu_f32,
+    ("bfloat16", "offline"): cuda_l2_tpu_bf16,
+    ("float32", "server"): cuda_l2_tpu_f32_server,
+    ("bfloat16", "server"): cuda_l2_tpu_bf16_server,
+}
 
 
-def candidate_fn(acc: str = "float32"):
-    return cuda_l2_tpu_f32 if acc == "float32" else cuda_l2_tpu_bf16
+def candidate_fn(acc: str = "float32", mode: str = "offline"):
+    return _CANDIDATES[(acc, mode)]
 
 
 def refresh_candidates() -> None:
     """Drop the candidates' jit caches so updated TuneDB entries take effect
-    (call after tuning shapes in-process)."""
-    cuda_l2_tpu_f32.clear_cache()
-    cuda_l2_tpu_bf16.clear_cache()
+    immediately (the epoch guard also does this lazily on the next call)."""
+    for c in _CANDIDATES.values():
+        c.clear_cache()

@@ -38,6 +38,33 @@ def _iqr(xs) -> float:
     return float(np.percentile(arr, 75) - np.percentile(arr, 25))
 
 
+def _candidate_with_options(acc: str, m: int, n: int, k: int, in_dtype,
+                            mode: str = "offline"):
+    """The candidate entry, carrying the dispatched sentinel's program-
+    scope compiler options (if any) for the timing chain to apply.
+
+    A flag-variant sentinel (e.g. 'nolhs_nn') wins through per-compilation
+    XLA TPU flags; those can only attach at jit scope, so the harness
+    resolves the shape's config and forwards the options to
+    make_chained_runner — the identical mechanism the xla_nolhs_* BASELINE
+    columns are measured with (no asymmetric advantage)."""
+    from tpul2.dispatch import resolve_config
+    from tpul2.ops.baselines import XLA_VARIANT_COMPILER_OPTIONS
+
+    cand = candidate_fn(acc, mode=mode)
+    cfg = resolve_config(m, n, k, acc, in_dtype, mode=mode)
+    opts = (XLA_VARIANT_COMPILER_OPTIONS.get(cfg.xla_variant)
+            if cfg.use_xla else None)
+    if not opts:
+        return cand
+
+    def fn(a, b, b_t):
+        return cand(a, b, b_t)
+    fn._compiler_options = opts
+    fn.__name__ = getattr(cand, "__name__", f"tpul2_{acc}")
+    return fn
+
+
 def eval_shape_server_lean(m: int, n: int, k: int,
                            accs: Sequence[str] = ("float32",),
                            in_dtype=jnp.bfloat16,
@@ -63,7 +90,10 @@ def eval_shape_server_lean(m: int, n: int, k: int,
     t0 = time.perf_counter()
     funcs = {}
     for acc in accs:
-        funcs[f"tpul2_{acc}"] = candidate_fn(acc)
+        # server twins: dispatch prefers each shape's server-regime winner
+        # (VERDICT r3 weak #3 — offline winners don't transfer)
+        funcs[f"tpul2_{acc}"] = _candidate_with_options(
+            acc, m, n, k, in_dtype, mode="server")
     funcs.update(LEAN_EVAL_FUNCS)
 
     rng = np.random.default_rng(seed)
@@ -262,7 +292,7 @@ PUBLISHED_SPEEDUP_KEYS = (
 def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
                            res: dict, threshold: float = 0.97,
                            max_threshold: float = 0.98,
-                           seed: int = 0) -> list:
+                           seed: int = 0, mode: str = "offline") -> list:
     """Post-eval self-healing of the tuning DB (the never-lose contract).
 
     Two repairs, both from the eval's own PUBLICATION-phase measurements
@@ -283,6 +313,13 @@ def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
          so a corrupted selection-phase sample (observed: a 15.5x
          'speedup' on a use_xla entry) cannot persist in the DB.
 
+    ``mode='server'`` (VERDICT r3 weak #3): the eval measured the server
+    Poisson regime, whose winners demonstrably differ from offline ones.
+    Demotions then write the shape's ``server`` sub-entry — the offline
+    config and its offline-measured bookkeeping are NEVER touched (round
+    3's server campaign overwrote offline winners with server-regime
+    choices, which the offline repair pass then had to heal back).
+
     Returns the list of accs whose entry was DEMOTED (callers should
     refresh dispatch and re-measure those rows)."""
     from tpul2.config import SPACE_REV, KernelConfig
@@ -297,14 +334,18 @@ def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
         lost = (sp.get("xla_matmul", 1.0) < threshold
                 or min((sp.get(c, 1.0) for c in PUBLISHED_SPEEDUP_KEYS),
                        default=1.0) < max_threshold)
-        is_sentinel = bool(entry and entry["config"].get("use_xla"))
+        # the config this eval actually dispatched (mode-dependent)
+        server_sub = (entry or {}).get("server") if mode == "server" else None
+        live_cfg = (server_sub["config"] if server_sub
+                    else entry["config"] if entry else None)
+        is_sentinel = bool(live_cfg and live_cfg.get("use_xla"))
         if lost:
             best = _best_screened_variant(per_func, m, n, k, in_dtype,
                                           acc, seed)
             if best is None:
                 continue
             variant = best[len("xla_"):]
-            if is_sentinel and entry["config"].get("xla_variant") == variant:
+            if is_sentinel and live_cfg.get("xla_variant") == variant:
                 # Already dispatching the measured-best variant: there is
                 # no better config to switch to.  Re-measure only for a
                 # REAL loss (vs jnp.matmul beyond the noise band) — a
@@ -315,16 +356,36 @@ def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
                 if sp.get("xla_matmul", 1.0) < threshold:
                     demoted.append(acc)
                 continue
-            db.put(m, n, k, KernelConfig.xla(variant),
-                   per_func[best]["tflops"], acc=acc, in_dtype=in_dtype,
-                   extra={"speedup_vs_xla": (per_func["xla_matmul"]["ms"]
-                                             / per_func[best]["ms"]),
-                          "timing_rev": TIMING_REV, "space_rev": SPACE_REV,
-                          "scope": "heal_demote",
-                          "demoted_from": dict(entry["config"]) if entry
-                                          else None})
+            heal_extra = {
+                "speedup_vs_xla": (per_func["xla_matmul"]["ms"]
+                                   / per_func[best]["ms"]),
+                "timing_rev": TIMING_REV, "space_rev": SPACE_REV,
+                "scope": f"{mode}_heal" if mode != "offline"
+                         else "heal_demote",
+                "demoted_from": dict(live_cfg) if live_cfg else None,
+                "tflops": per_func[best]["tflops"],
+            }
+            if mode == "server":
+                db.put_server(m, n, k, KernelConfig.xla(variant),
+                              acc=acc, in_dtype=in_dtype, extra=heal_extra)
+            else:
+                heal_extra.pop("tflops")
+                db.put(m, n, k, KernelConfig.xla(variant),
+                       per_func[best]["tflops"], acc=acc, in_dtype=in_dtype,
+                       extra=heal_extra)
             demoted.append(acc)
             changed = True
+        elif mode == "server":
+            # bookkeeping refresh for an existing server sub-entry only;
+            # offline fields stay offline-measured
+            if server_sub and server_sub["config"].get("use_xla"):
+                name = f"xla_{server_sub['config'].get('xla_variant', 'matmul')}"
+                if name in per_func:
+                    server_sub["tflops"] = per_func[name]["tflops"]
+                    server_sub["speedup_vs_xla"] = (
+                        per_func["xla_matmul"]["ms"] / per_func[name]["ms"])
+                    server_sub["timing_rev"] = TIMING_REV
+                    changed = True
         elif is_sentinel:
             variant = entry["config"].get("xla_variant", "matmul")
             name = f"xla_{variant}"
@@ -429,7 +490,8 @@ def eval_shape_lean(m: int, n: int, k: int,
     # ---- phase 2: publication (candidates + every baseline column) ----
     funcs = dict(base_funcs)
     for acc in accs:
-        funcs[f"tpul2_{acc}"] = candidate_fn(acc)
+        funcs[f"tpul2_{acc}"] = _candidate_with_options(acc, m, n, k,
+                                                        in_dtype)
         timers[f"tpul2_{acc}"] = bu.LeanTimer(funcs[f"tpul2_{acc}"],
                                               m, n, k, in_dtype, reps)
         timers[f"tpul2_{acc}"].warmup(data0)

@@ -129,9 +129,19 @@ def _adapt_output(a, c, i, k: int, in_dtype):
 
 def make_chained_runner(fn: Callable, m: int, n: int, k: int,
                         in_dtype, reps: int) -> Callable:
-    """Jitted program running `reps` chained iterations of fn(a, b, b_t)."""
+    """Jitted program running `reps` chained iterations of fn(a, b, b_t).
 
-    @jax.jit
+    A function carrying a ``_compiler_options`` attribute (the XLA-flag
+    baseline variants, ops.baselines) gets those options passed to the
+    chain's jit — per-compilation XLA TPU flags are the closest analogue
+    of cuBLASLt's per-algo knobs and can only apply at program scope.
+    TPU-only: the CPU backend rejects unknown TPU flags, so off-TPU the
+    variant falls back to its base formulation (numerics identical)."""
+    from tpul2.utils.platform import on_tpu
+    options = getattr(fn, "_compiler_options", None)
+    if options is not None and not on_tpu():
+        options = None
+
     def run(a, b, b_t):
         def body(carry, _):
             a, i = carry
@@ -141,7 +151,7 @@ def make_chained_runner(fn: Callable, m: int, n: int, k: int,
                                      length=reps)
         return a_fin
 
-    return run
+    return jax.jit(run, compiler_options=options)
 
 
 class ChainedTimer:

@@ -119,10 +119,12 @@ def _key(m, n, k, acc, in_dtype_name) -> TL2Key:
 def _to_kernel_config(c: TL2Config):
     from tpul2.config import XLA_VARIANTS, KernelConfig
     if c.flags & 1:
-        # bits 3-5 carry the sentinel's XLA formulation; id 0 = 'matmul'
-        # keeps round-1 sidecars (which never set these bits) decoding
-        # to the identical config.
-        return KernelConfig.xla(XLA_VARIANTS[(c.flags >> 3) & 7])
+        # bits 3-5 (+ bit 10 as the high bit, round 4: the XLA-flag
+        # variants pushed the id past 7) carry the sentinel's XLA
+        # formulation; id 0 = 'matmul' keeps round-1 sidecars (which never
+        # set these bits) decoding to the identical config.
+        vid = ((c.flags >> 3) & 7) | (((c.flags >> 10) & 1) << 3)
+        return KernelConfig.xla(XLA_VARIANTS[vid])
     return KernelConfig(
         bm=c.bm, bn=c.bn, bk=c.bk,
         acc_dtype="float32" if c.acc == 0 else "bfloat16",
@@ -152,7 +154,8 @@ def _from_kernel_config(cfg, acc: str, tflops: float = 0.0) -> TL2Config:
     if depth in _PIPELINE_DEPTHS:
         flags |= _PIPELINE_DEPTHS.index(depth) << 7
     if cfg.use_xla:
-        flags |= XLA_VARIANTS.index(cfg.xla_variant) << 3
+        vid = XLA_VARIANTS.index(cfg.xla_variant)
+        flags |= ((vid & 7) << 3) | (((vid >> 3) & 1) << 10)
     return TL2Config(cfg.bm, cfg.bn, cfg.bk,
                      _ACC_IDS.get(cfg.acc_dtype, 0),
                      0 if cfg.grid_order == "mn" else 1,

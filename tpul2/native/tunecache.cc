@@ -6,7 +6,10 @@
 // cuBLASLt algos in C++ statics (cublas/*/hgemm_cublaslt_auto_tuning.cu:291),
 // tpul2 keeps the per-(M,N,K,acc) tuned kernel-config lookup in a native
 // open-addressing hash table with binary persistence.  The Python layer
-// (tpul2.dispatch) calls in via ctypes at trace time; the standalone
+// calls in via ctypes at trace time: dispatch.resolve_config's exact-key
+// lookup is served by this cache whenever the binary sidecar mirrors the
+// JSON DB (TuneDB.native_get; tests/test_dispatch.py asserts the hit), with
+// the JSON entries as the mutation-safe fallback.  The standalone
 // self-test/benchmark main() is compiled out by -DNO_TL2_BIN, mirroring the
 // reference's "#ifndef NO_CUBLAS_HGEMM_BIN" gated mains (cublas/*:71-173).
 //
@@ -29,7 +32,8 @@ struct TL2Config {
   int32_t acc;        // 0 = float32, 1 = bfloat16
   int32_t grid_order; // 0 = mn, 1 = nm
   int32_t flags;      // bit0: use_xla; bit1: parallel_mn; bit2: rhs_layout nk;
-                      // bits3-5: xla_variant id (0=matmul; config.XLA_VARIANTS)
+                      // bits3-5 + bit10 (high bit): xla_variant id
+                      // (0=matmul; config.XLA_VARIANTS)
   int32_t vmem_limit; // vmem_limit_bytes (0 = compiler default)
   float tflops;       // measured at tuning time
 };

@@ -69,6 +69,36 @@ def xla_sameacc_tn(a, b, b_t):
     return lax.dot_general(a, b_t, _TN_DIMS)
 
 
+# Round-4 XLA-flag variants (VERDICT r3 next-round #7): per-compilation
+# XLA TPU flags are the genuine analogue of cuBLASLt-AT's unlisted vendor
+# algo space (hgemm_cublaslt_auto_tuning.cu:153-162 requests <=100 algos).
+# scripts/probe_xla_flags.py measured four flag sets across the bands
+# (eval_results/probe_xla_flags_r4.jsonl): disabling the latency-hiding
+# scheduler is the one consistent winner (+3.6% on 8192x128x64, +2.6% on
+# 4096^3, max loss -1%); the scoped-VMEM and aggressive-fusion sets are
+# mixed-to-losing (vmem112m: -14% on 4096^3) and are excluded from the
+# measured set by that evidence.  Compiler options apply at PROGRAM scope,
+# so the timing harness passes them to the chained program's jit
+# (bench_utils.make_chained_runner reads ``_compiler_options``); the math
+# is identical to the base formulation, only the schedule differs.
+NOLHS_OPTIONS = {"xla_tpu_enable_latency_hiding_scheduler": "false"}
+
+
+def xla_nolhs_nn(a, b, b_t):
+    """dot_general, f32 acc, latency-hiding scheduler disabled."""
+    return lax.dot_general(a, b, _NN_DIMS,
+                           preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def xla_nolhs_tn(a, b, b_t):
+    return lax.dot_general(a, b_t, _TN_DIMS,
+                           preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+xla_nolhs_nn._compiler_options = NOLHS_OPTIONS
+xla_nolhs_tn._compiler_options = NOLHS_OPTIONS
+
+
 # ---------------------------------------------------------------------------
 # Auto-tuned baseline: pick the best XLA formulation per shape.
 # Mirrors cuBLASLt auto-tuning's explicit pre-tune step
@@ -109,6 +139,12 @@ def _variants(layout: str):
         preferred_element_type=jnp.float32).astype(a.dtype)
     vs["opp_layout_sameacc"] = lambda a, b, b_t: lax.dot_general(
         a, opp(b, b_t), opp_dims)
+    # compiler-flag variant (round 4; see NOLHS_OPTIONS above)
+    nolhs = lambda a, b, b_t: lax.dot_general(  # noqa: E731
+        a, pick(b, b_t), dims,
+        preferred_element_type=jnp.float32).astype(a.dtype)
+    nolhs._compiler_options = NOLHS_OPTIONS
+    vs["nolhs"] = nolhs
     return vs
 
 
@@ -119,10 +155,19 @@ _tuned_cache: dict = {}
 _jitted_variants: dict = {}
 
 
+def _jit_options(fn):
+    """compiler options a jit of fn should carry (TPU only — the CPU
+    backend rejects unknown TPU flags)."""
+    from tpul2.utils.platform import on_tpu
+    opts = getattr(fn, "_compiler_options", None)
+    return opts if (opts and on_tpu()) else None
+
+
 def _jitted(layout: str) -> dict:
     if layout not in _jitted_variants:
-        _jitted_variants[layout] = {name: jax.jit(fn)
-                                    for name, fn in _variants(layout).items()}
+        _jitted_variants[layout] = {
+            name: jax.jit(fn, compiler_options=_jit_options(fn))
+            for name, fn in _variants(layout).items()}
     return _jitted_variants[layout]
 
 
@@ -149,7 +194,11 @@ def find_best_xla_variant(m: int, n: int, k: int, dtype, layout: str,
     if key in _tuned_cache:
         return _tuned_cache[key]
 
-    vs = _jitted(layout)
+    # RAW variants for timing: the chained program is the top-level jit and
+    # applies any _compiler_options itself — a jitted-with-options twin
+    # nested inside the chain is rejected by JAX (options are top-level
+    # only).  The jitted twins serve the eager exec path (_autotuned).
+    vs = _variants(layout)
     rng = _np.random.default_rng(0)
     data0 = bu.fresh_inputs(rng, m, n, k, dtype)
     est = bu.estimate_per_call_ms(vs["default_f32acc"], data0, m, n, k, dtype)
@@ -228,15 +277,20 @@ LEAN_EVAL_FUNCS = {
     "xla_highest_tn": xla_highest_tn,
     "xla_sameacc_nn": xla_sameacc_nn,
     "xla_sameacc_tn": xla_sameacc_tn,
+    "xla_nolhs_nn": xla_nolhs_nn,
+    "xla_nolhs_tn": xla_nolhs_tn,
 }
 
 #: Variant sets backing each derived autotuned column — mirrors
-#: _variants(layout) above (default/sameacc/highest + opposite-layout).
+#: _variants(layout) above (default/sameacc/highest/compiler-flag +
+#: opposite-layout).
 AUTOTUNED_VARIANT_SETS = {
     "xla_autotuned_nn": ("xla_dot_nn", "xla_sameacc_nn", "xla_highest_nn",
-                         "xla_dot_tn", "xla_sameacc_tn"),
+                         "xla_nolhs_nn", "xla_dot_tn", "xla_sameacc_tn",
+                         "xla_nolhs_tn"),
     "xla_autotuned_tn": ("xla_dot_tn", "xla_sameacc_tn", "xla_highest_tn",
-                         "xla_dot_nn", "xla_sameacc_nn"),
+                         "xla_nolhs_tn", "xla_dot_nn", "xla_sameacc_nn",
+                         "xla_nolhs_nn"),
 }
 
 
@@ -261,4 +315,22 @@ XLA_VARIANT_FNS = {
         preferred_element_type=jnp.float32),
     "sameacc_nn": lambda a, b, b_t: lax.dot_general(a, b, _NN_DIMS),
     "sameacc_tn": lambda a, b, b_t: lax.dot_general(a, b_t, _TN_DIMS),
+    # Flag variants compute the plain f32-acc dot; their win comes from the
+    # program-scope compiler options below, which the harness applies when
+    # the sentinel is the whole measured program (the same footing as a
+    # reference kernel controlling its own launch configuration).  Inside a
+    # larger user jit the options are unreachable and the variant degrades
+    # to its base formulation — numerics identical either way.
+    "nolhs_nn": lambda a, b, b_t: lax.dot_general(
+        a, b, _NN_DIMS, preferred_element_type=jnp.float32),
+    "nolhs_tn": lambda a, b, b_t: lax.dot_general(
+        a, b_t, _TN_DIMS, preferred_element_type=jnp.float32),
+}
+
+#: Program-scope compiler options per sentinel variant (empty for most).
+#: The benchmark harness attaches these to the candidate's chained program
+#: when the dispatched config is a flag-variant sentinel.
+XLA_VARIANT_COMPILER_OPTIONS = {
+    "nolhs_nn": NOLHS_OPTIONS,
+    "nolhs_tn": NOLHS_OPTIONS,
 }
