@@ -42,8 +42,16 @@ def test_thread_injection_legit_and_attack():
 
 
 def test_async_cheating_legit():
+    # The timed region is ~0.1 ms of CPU work; on a machine under load a
+    # single ~1 ms scheduler stall in the sync median can exceed the
+    # defense's absolute floor and flag a legit function.  A true cheat
+    # flags on EVERY run (the hidden work is deterministic), so retrying a
+    # flaky legit flag does not mask real detections.
     args = _args()
-    res = d.defend_against_async_cheating(_legit, args)
+    for _ in range(3):
+        res = d.defend_against_async_cheating(_legit, args)
+        if res["pass"]:
+            break
     assert res["pass"], res
     assert res["authoritative_ms"] > 0
 
