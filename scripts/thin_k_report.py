@@ -49,6 +49,54 @@ def bound_ms(m, n, k, write_alloc: bool) -> float:
     return max(flops / PEAK, bytes_ / HBM_BW) * 1e3
 
 
+def analyze(csv_path, detail_path, acc,
+            physics_bar: float = 0.85, win_bar: float = 1.05):
+    """Per-shape thin-K roofline shares for one family.
+
+    Returns (rows, targets, missing): rows are dicts sorted by ascending
+    candidate write-allocate share; targets are (m,n,k) below the physics
+    bar that are not already winning (retune-worthy headroom).
+    """
+    # latest detail record per mnk (repairs append a fresh record)
+    details = {}
+    for line in Path(detail_path).read_text().splitlines():
+        try:
+            r = json.loads(line)
+        except Exception:
+            continue
+        details["x".join(map(str, r["mnk"]))] = r
+
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+
+    out_rows, targets = [], []
+    missing = 0
+    for r in rows:
+        m, n, k = map(int, r["mnk"].split("x"))
+        if not bands_of(m, n, k):
+            continue
+        d = details.get(r["mnk"])
+        if d is None or f"tpul2_{acc}" not in d.get("per_func", {}):
+            missing += 1
+            continue
+        cand_ms = d["per_func"][f"tpul2_{acc}"]["ms"]
+        xla_ms = d["per_func"]["xla_matmul"]["ms"]
+        rec = {
+            "mnk": r["mnk"],
+            "speedup": float(r["jnp.matmul"]),
+            "cand_share_naive": bound_ms(m, n, k, False) / cand_ms,
+            "cand_share_wa": bound_ms(m, n, k, True) / cand_ms,
+            "xla_share_wa": bound_ms(m, n, k, True) / xla_ms,
+        }
+        out_rows.append(rec)
+        if (rec["cand_share_wa"] < physics_bar
+                and rec["speedup"] < win_bar):
+            targets.append((m, n, k))
+
+    out_rows.sort(key=lambda x: x["cand_share_wa"])
+    return out_rows, targets, missing
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--csv",
@@ -68,43 +116,9 @@ def main(argv=None) -> int:
                     help="print the per-shape markdown table (BENCH_NOTES)")
     args = ap.parse_args(argv)
 
-    # latest detail record per mnk (repairs append a fresh record)
-    details = {}
-    for line in Path(args.detail).read_text().splitlines():
-        try:
-            r = json.loads(line)
-        except Exception:
-            continue
-        details["x".join(map(str, r["mnk"]))] = r
-
-    with open(args.csv) as f:
-        rows = list(csv.DictReader(f))
-
-    out_rows, targets = [], []
-    missing = 0
-    for r in rows:
-        m, n, k = map(int, r["mnk"].split("x"))
-        if not bands_of(m, n, k):
-            continue
-        d = details.get(r["mnk"])
-        if d is None or f"tpul2_{args.acc}" not in d.get("per_func", {}):
-            missing += 1
-            continue
-        cand_ms = d["per_func"][f"tpul2_{args.acc}"]["ms"]
-        xla_ms = d["per_func"]["xla_matmul"]["ms"]
-        rec = {
-            "mnk": r["mnk"],
-            "speedup": float(r["jnp.matmul"]),
-            "cand_share_naive": bound_ms(m, n, k, False) / cand_ms,
-            "cand_share_wa": bound_ms(m, n, k, True) / cand_ms,
-            "xla_share_wa": bound_ms(m, n, k, True) / xla_ms,
-        }
-        out_rows.append(rec)
-        if (rec["cand_share_wa"] < args.physics_bar
-                and rec["speedup"] < args.win_bar):
-            targets.append((m, n, k))
-
-    out_rows.sort(key=lambda x: x["cand_share_wa"])
+    out_rows, targets, missing = analyze(
+        args.csv, args.detail, args.acc,
+        physics_bar=args.physics_bar, win_bar=args.win_bar)
     at_wall = sum(1 for r in out_rows
                   if r["cand_share_wa"] >= args.physics_bar)
     winning = sum(1 for r in out_rows if r["speedup"] >= args.win_bar)
