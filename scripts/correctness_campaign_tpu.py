@@ -66,14 +66,27 @@ def main(argv=None) -> int:
 
     db = TuneDB(path=args.db).load()
     jsonl = Path(args.jsonl)
+    # A failure whose error is an infrastructure signature (the remote
+    # compile service 500s in bursts; the pool has documented outage
+    # windows) is NOT done — the next run retries it.  Real numerical
+    # failures stay recorded as done: retrying those would be rerolling
+    # the dice on a correctness verdict.
+    transient = ("remote_compile", "HTTP 500", "UNAVAILABLE",
+                 "DEADLINE_EXCEEDED", "failed to connect")
     done = set()
     if jsonl.exists():
         for line in jsonl.read_text().splitlines():
             try:
                 r = json.loads(line)
-                done.add((r["mnk"], r["acc"]))
             except Exception:
-                pass
+                continue
+            key = (r["mnk"], r["acc"])
+            if r.get("pass"):
+                done.add(key)
+            elif any(s in r.get("error", "") for s in transient):
+                done.discard(key)
+            else:
+                done.add(key)
 
     todo = [((m, n, k), acc, entry)
             for (m, n, k), acc, entry in sorted(db.items())
@@ -164,8 +177,16 @@ def main(argv=None) -> int:
               f"{'PASS' if rec['pass'] else 'FAIL ' + str(rec)} "
               f"({rec['elapsed_s']}s)", file=sys.stderr)
 
-    # summary over the FULL jsonl (all runs)
-    recs = [json.loads(line) for line in jsonl.read_text().splitlines()]
+    # summary over the FULL jsonl (all runs); a retried config's LATEST
+    # record supersedes earlier transient-failure records
+    by_key = {}
+    for line in jsonl.read_text().splitlines():
+        try:
+            r = json.loads(line)
+            by_key[(r["mnk"], r["acc"])] = r
+        except Exception:
+            pass
+    recs = list(by_key.values())
     total_pallas = sum(1 for _, _, e in db.items()
                        if not (e.get("config") or {}).get("use_xla"))
     summary = {
