@@ -16,9 +16,15 @@ import sys
 from pathlib import Path
 
 
-def aggregate(path: Path) -> dict:
+def aggregate(path: Path, quality: str | None = None) -> dict:
+    """Per-column summary stats; quality='ok' restricts to rows whose
+    measurement passed the noise gates (server rows at the ~30 ms fence
+    floor are flagged floor_limited — their per-request numbers are
+    dominated by ±ms jitter and carry no signal either way)."""
     with path.open() as f:
         rows = list(csv.DictReader(f))
+    if quality is not None:
+        rows = [r for r in rows if r.get("quality", "ok") == quality]
     if not rows:
         return {}
     cols = [c for c in rows[0] if c not in ("mnk", "quality", "iqr_rel")]

@@ -68,11 +68,24 @@ def emit_tables(out: io.StringIO, path: Path) -> None:
     if not agg:
         return
     out.write(f"\n## {path.name} ({next(iter(agg.values()))['n']} shapes)\n\n")
-    out.write("| Baseline | Mean speedup | Geomean | wins | ties |\n")
-    out.write("|---|---|---|---|---|\n")
-    for c, s in agg.items():
-        out.write(f"| {c} | {s['mean']:.4f}x | {s['geomean']:.4f}x "
-                  f"| {s['wins']} | {s['ties']} |\n")
+    # Flagged rows (floor_limited etc.) carry no signal either way; show
+    # the aggregate both with and without them so neither view is hidden.
+    ok = aggregate(path, quality="ok")
+    ok_differs = ok and ok[next(iter(ok))]["n"] != agg[next(iter(agg))]["n"]
+    if ok_differs:
+        out.write("| Baseline | Mean | Geomean | wins | ties "
+                  "| Geomean (quality=ok) |\n")
+        out.write("|---|---|---|---|---|---|\n")
+        for c, s in agg.items():
+            g_ok = f"{ok[c]['geomean']:.4f}x" if c in ok else "-"
+            out.write(f"| {c} | {s['mean']:.4f}x | {s['geomean']:.4f}x "
+                      f"| {s['wins']} | {s['ties']} | {g_ok} |\n")
+    else:
+        out.write("| Baseline | Mean speedup | Geomean | wins | ties |\n")
+        out.write("|---|---|---|---|---|\n")
+        for c, s in agg.items():
+            out.write(f"| {c} | {s['mean']:.4f}x | {s['geomean']:.4f}x "
+                      f"| {s['wins']} | {s['ties']} |\n")
     bands = band_table(path)
     if bands:
         out.write("\n| Band (vs jnp.matmul) | n | Geomean | Best "
