@@ -34,6 +34,36 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+#: stderr signatures of infrastructure failure (the remote-compile service
+#: 500s in bursts; the pool has documented outage windows) — retryable,
+#: unlike a numerical failure, whose verdict must never be rerolled.
+TRANSIENT_SIGNATURES = ("remote_compile", "HTTP 500", "UNAVAILABLE",
+                        "DEADLINE_EXCEEDED", "failed to connect")
+
+
+def load_done(jsonl_text: str) -> set:
+    """(mnk, acc) keys that should NOT be re-run on resume.
+
+    A pass is done; a numerical failure is done (final verdict); a failure
+    with a transient infrastructure signature is retried — and a later
+    retry's verdict supersedes it (records are processed in order).
+    """
+    done: set = set()
+    for line in jsonl_text.splitlines():
+        try:
+            r = json.loads(line)
+        except Exception:
+            continue
+        key = (r["mnk"], r["acc"])
+        if r.get("pass"):
+            done.add(key)
+        elif any(s in r.get("error", "") for s in TRANSIENT_SIGNATURES):
+            done.discard(key)
+        else:
+            done.add(key)
+    return done
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--db", default="tpul2/data/tunedb_v5e.json")
@@ -66,27 +96,7 @@ def main(argv=None) -> int:
 
     db = TuneDB(path=args.db).load()
     jsonl = Path(args.jsonl)
-    # A failure whose error is an infrastructure signature (the remote
-    # compile service 500s in bursts; the pool has documented outage
-    # windows) is NOT done — the next run retries it.  Real numerical
-    # failures stay recorded as done: retrying those would be rerolling
-    # the dice on a correctness verdict.
-    transient = ("remote_compile", "HTTP 500", "UNAVAILABLE",
-                 "DEADLINE_EXCEEDED", "failed to connect")
-    done = set()
-    if jsonl.exists():
-        for line in jsonl.read_text().splitlines():
-            try:
-                r = json.loads(line)
-            except Exception:
-                continue
-            key = (r["mnk"], r["acc"])
-            if r.get("pass"):
-                done.add(key)
-            elif any(s in r.get("error", "") for s in transient):
-                done.discard(key)
-            else:
-                done.add(key)
+    done = load_done(jsonl.read_text()) if jsonl.exists() else set()
 
     todo = [((m, n, k), acc, entry)
             for (m, n, k), acc, entry in sorted(db.items())
