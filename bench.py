@@ -175,13 +175,17 @@ def _measure() -> int:
                   file=sys.stderr)
 
     geomean = float(np.exp(np.mean(np.log(speedups))))
+    # Headline keys LAST: the round driver keeps only the tail of this
+    # line, so the large per-shape blocks must print first or the
+    # "value" field gets truncated away (VERDICT r4 weak #5 — the round-4
+    # headline was unrecoverable from BENCH_r04.json).
     print(json.dumps({
-        "metric": "geomean_speedup_vs_xla_dot",
-        "value": round(geomean, 4),
-        "unit": "x",
-        "vs_baseline": round(geomean, 4),
         "shapes": per_shape,
         "mfu": mfu,
+        "metric": "geomean_speedup_vs_xla_dot",
+        "unit": "x",
+        "value": round(geomean, 4),
+        "vs_baseline": round(geomean, 4),
     }))
     return 0
 

@@ -52,9 +52,12 @@ def load_done(jsonl_text: str) -> set:
     for line in jsonl_text.splitlines():
         try:
             r = json.loads(line)
+            key = (r["mnk"], r["acc"])
         except Exception:
+            # tolerate corrupt/foreign jsonl lines — a line that parses as
+            # JSON but is not a record with mnk/acc must not abort resume
+            # (ADVICE r4 low #2)
             continue
-        key = (r["mnk"], r["acc"])
         if r.get("pass"):
             done.add(key)
         elif any(s in r.get("error", "") for s in TRANSIENT_SIGNATURES):

@@ -43,9 +43,19 @@ def bands_of(m, n, k):
     return k <= 512 and max(m, n) >= 2048
 
 
-def bound_ms(m, n, k, write_alloc: bool) -> float:
+def bound_ms(m, n, k, write_alloc: bool, out_bytes: int = 2) -> float:
+    """Roofline bound with explicit output-dtype bytes (ADVICE r4 low #3).
+
+    ``out_bytes=2`` is correct for EVERY function the campaigns measure in
+    BOTH accumulator families: the candidates (dispatch.matmul defaults
+    ``out_dtype`` to ``a.dtype`` = bf16) and all XLA baselines
+    (ops/baselines.py casts each dot's f32 product back to ``a.dtype``).
+    The 'float32' family names the ACCUMULATOR, not the stored output —
+    pass ``out_bytes=4`` only when analyzing a path that truly stores f32.
+    """
     flops = 2.0 * m * n * k
-    bytes_ = 2 * (m * k + k * n) + (4 if write_alloc else 2) * m * n
+    bytes_ = 2 * (m * k + k * n) + \
+        (2 * out_bytes if write_alloc else out_bytes) * m * n
     return max(flops / PEAK, bytes_ / HBM_BW) * 1e3
 
 

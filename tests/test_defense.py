@@ -47,13 +47,15 @@ def test_async_cheating_legit():
     # defense's absolute floor and flag a legit function.  A true cheat
     # flags on EVERY run (the hidden work is deterministic), so retrying a
     # flaky legit flag does not mask real detections.
+    # ADVICE r4 low #4: a bare retry-until-pass would let a defense that
+    # falsely flags legit functions ~50% of the time still pass — run all
+    # 3 and require a majority, so persistent flakiness fails the test.
     args = _args()
-    for _ in range(3):
-        res = d.defend_against_async_cheating(_legit, args)
-        if res["pass"]:
-            break
-    assert res["pass"], res
-    assert res["authoritative_ms"] > 0
+    results = [d.defend_against_async_cheating(_legit, args)
+               for _ in range(3)]
+    passes = [r for r in results if r["pass"]]
+    assert len(passes) >= 2, [r for r in results if not r["pass"]]
+    assert passes[0]["authoritative_ms"] > 0
 
 
 def test_async_cheating_attack():
