@@ -37,6 +37,10 @@ CSVS = [
     "tpul2_v5e_bfloat16_speedup_server.csv",
     "tpul2_v5e_float32_speedup_serving.csv",
     "tpul2_v5e_bfloat16_speedup_serving.csv",
+    # round 5: the 20 LLM-serving shapes re-measured under the server
+    # (Poisson-request) regime — VERDICT r4 next-round #10
+    "tpul2_v5e_float32_speedup_serving_server.csv",
+    "tpul2_v5e_bfloat16_speedup_serving_server.csv",
 ]
 
 GRID_DIMS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 12288, 16384)
@@ -186,6 +190,18 @@ def main(argv=None) -> int:
                   f"tuned configs bit-exact in interpret mode "
                   f"({len(s['skipped'])} skipped on the interpret cost "
                   f"cap).\n")
+    ct = REPO / "eval_results" / "correctness_campaign_tpu.json"
+    if ct.exists():
+        import json
+        s = json.loads(ct.read_text())["summary"]
+        failed = s.get("failed", [])
+        out.write(f"On-chip correctness campaign: {s['passed']}/"
+                  f"{s['checked']} tuned Pallas configs bit-exact on the "
+                  f"real TPU"
+                  + (f" ({len(failed)} failed: "
+                     + ", ".join(sorted({f'{r["mnk"]}/{r["acc"]}'
+                                         for r in failed})) + ")"
+                     if failed else "") + ".\n")
     out.write(
         "\nEvery published row survived the journaled never-lose repair "
         "loop (one re-measure per flagged row, published unconditionally; "

@@ -398,7 +398,14 @@ def candidate_configs(m: int, n: int, k: int,
             cs.add(min(base))
         return sorted(cs)
 
-    bms = dim_choices(m, tuple(b for b in (sub, 32, 64, 128, 256, 512, 1024)
+    # bm reaches 2048 (round 5): on giant squares the HBM traffic is
+    # (n/bn) passes over A + (m/bm) passes over B, minimized by SYMMETRIC
+    # large output tiles — bm=bn=2048 at 8192^3 is 8 operand passes vs 10
+    # for the round-4 1024x4096 best (the 8192^3 MFU-gap attack, VERDICT
+    # r4 next-round #5).  The footprint model prunes it wherever the f32
+    # accumulator (16 MiB) + double-buffered operands exceed VMEM.
+    bms = dim_choices(m, tuple(b for b in (sub, 32, 64, 128, 256, 512, 1024,
+                                           2048)
                                if b % sub == 0), sub)
     # bn reaches 16384 (round 3): thin-K giants are output-write bound and
     # want the longest contiguous row-major C stripes VMEM allows — the
