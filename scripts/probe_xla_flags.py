@@ -27,19 +27,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SHAPES = [
+    # ordered most-informative-first so --max_shapes trims the tail:
+    # thin-K headroom rows (BENCH_NOTES roofline tables), the 8192^3
+    # flagship gap, then the round-4 band representatives
     (8192, 128, 64),      # thin-K
-    (2048, 512, 64),      # thin-K
-    (64, 8192, 8192),     # skinny streaming
-    (128, 4096, 4096),    # streaming
+    (2048, 8192, 512),    # thin-K, unexplained headroom
+    (8192, 4096, 512),    # thin-K, unexplained headroom
+    (128, 2048, 256),     # thin-K, unexplained headroom
+    (8192, 8192, 8192),   # flagship square (88% MFU in r4)
     (4096, 4096, 4096),   # MXU-bound square
+    (64, 8192, 8192),     # skinny streaming
     (256, 256, 256),      # dispatch floor
+    (2048, 512, 64),      # thin-K
+    (128, 4096, 4096),    # streaming
     (16384, 16384, 64),   # C-write bound giant
-    # round-5 additions: thin-K rows with measured unexplained headroom
-    # (BENCH_NOTES thin-K roofline tables) + the 8192^3 flagship gap
-    (2048, 8192, 512),
-    (8192, 4096, 512),
-    (128, 2048, 256),
-    (8192, 8192, 8192),
 ]
 
 # Round-4 battery (kept for reference / re-runs).
