@@ -118,11 +118,24 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             break
         cfg = KernelConfig(**entry["config"])
-        fam = "bfloat16" if acc == "bfloat16" else "float32"
+        # Gate at the widest out_dtype DISPATCH would serve through this
+        # config.  Requesting f32 out on a config whose output block only
+        # fits VMEM at 2 bytes would Mosaic-compile-fail — but dispatch
+        # serves that request through the sentinel (dispatch.matmul's
+        # out_dtype feasibility guard), so the kernel's own contract is
+        # bf16 delivery; gate it there, with the bf16-family 0/1 bound
+        # (products <= 256 are exactly representable in bf16, keeping the
+        # diff == 0.0 criterion meaningful).
+        f32_servable = cfg.serves_out_dtype(m, n, k, jnp.bfloat16,
+                                            jnp.float32)
+        out_dt = jnp.float32 if f32_servable else jnp.bfloat16
+        fam = ("bfloat16" if (acc == "bfloat16" or not f32_servable)
+               else "float32")
         dens = zero_one_density(k, fam)
         bound = float(EXACT_BOUND[fam])
 
-        def gate(seed, _cfg=cfg, _acc=acc, _dens=dens, _bound=bound):
+        def gate(seed, _cfg=cfg, _acc=acc, _dens=dens, _bound=bound,
+                 _out_dt=out_dt):
             @jax.jit
             def prog(key):
                 ka, kb = jax.random.split(key)
@@ -137,7 +150,8 @@ def main(argv=None) -> int:
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 out = matmul(a, b, acc=_acc, config=_cfg, b_t=b_t,
-                             out_dtype=jnp.float32, interpret=False)
+                             out_dtype=_out_dt,
+                             interpret=False).astype(jnp.float32)
                 d = jnp.abs(out - truth)
                 d = jnp.where(jnp.abs(truth) <= _bound, d, 0.0)
                 finite = jnp.all(jnp.isfinite(out))
@@ -161,8 +175,7 @@ def main(argv=None) -> int:
                     jnp.bfloat16)
                 b = (jax.random.uniform(kb, (k, n)) < _dens).astype(
                     jnp.bfloat16)
-                out = pallas_matmul_padded(a, b, _cfg,
-                                           out_dtype=jnp.float32)
+                out = pallas_matmul_padded(a, b, _cfg, out_dtype=out_dt)
                 rows = (jnp.max(jnp.abs(out[m:, :]))
                         if out.shape[0] > m else 0.0)
                 cols = (jnp.max(jnp.abs(out[:, n:]))
@@ -177,7 +190,12 @@ def main(argv=None) -> int:
             ok = all(d == 0.0 for d in diffs) and pad_max == 0.0
             rec = {"mnk": f"{m}x{n}x{k}", "acc": acc,
                    "diffs": diffs, "pad_max": pad_max, "pass": ok,
+                   "out_dtype": jnp.dtype(out_dt).name,
                    "elapsed_s": round(time.time() - t_cfg, 1)}
+            if not f32_servable:
+                rec["note"] = ("f32-out infeasible for this tiling; "
+                               "dispatch serves f32 requests via the "
+                               "sentinel (out_dtype guard)")
         except Exception as e:
             rec = {"mnk": f"{m}x{n}x{k}", "acc": acc, "pass": False,
                    "error": f"{type(e).__name__}: {str(e)[:200]}",

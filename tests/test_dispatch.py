@@ -283,3 +283,28 @@ def test_nolhs_sentinel_dispatch_and_options(tmp_path, monkeypatch):
     db.put(32, 128, 64, KernelConfig.xla("dot_nn"), tflops=1.0)
     fn2 = _candidate_with_options("float32", 32, 128, 64, jnp.bfloat16)
     assert getattr(fn2, "_compiler_options", None) is None
+
+
+def test_out_dtype_feasibility_guard(tmp_path, monkeypatch):
+    """A DB winner whose output block only fits VMEM at 2 bytes must serve
+    out_dtype=float32 through the sentinel, not a Mosaic compile error
+    (observed on-chip: the 2048x12288x64/float32 winner's 2048x12288 f32
+    output block is 96 MiB > physical VMEM)."""
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    giant = KernelConfig(bm=2048, bn=12288, bk=64, rhs_layout="nk",
+                         vmem_limit_bytes=72351744)
+    m, n, k = 2048, 12288, 64
+    assert giant.serves_out_dtype(m, n, k, jnp.bfloat16, jnp.bfloat16)
+    assert not giant.serves_out_dtype(m, n, k, jnp.bfloat16, jnp.float32)
+    db.put(m, n, k, giant, tflops=50.0)
+    # bf16 out resolves to the tuned Pallas config unchanged...
+    assert resolve_config(m, n, k) == giant
+    # ...and an f32-out request computes through the guard's sentinel:
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.integers(0, 2, (m, k)), jnp.bfloat16)
+    b = jnp.asarray(rng.integers(0, 2, (k, n)), jnp.bfloat16)
+    out = tpul2.matmul(a, b, out_dtype=jnp.float32)
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out), _ref(a, b))

@@ -291,6 +291,32 @@ class KernelConfig:
                         f"{self.vmem_limit_bytes}")
         return None
 
+    def serves_out_dtype(self, m: int, n: int, k: int,
+                         in_dtype=jnp.bfloat16,
+                         out_dtype=jnp.bfloat16) -> bool:
+        """Can this config deliver ``out_dtype`` for (m, n, k) at all?
+
+        Tuning measures (and validates) configs at ``out_dtype=in_dtype``;
+        the public API additionally admits wider outputs (the reference's
+        F32F16F16F32 family DELIVERS f32, hgemm_cublas.cu:50-67).  A config
+        whose output block only fits VMEM at 2 bytes/element cannot compile
+        when asked for a 4-byte store (observed on-chip: the
+        2048x12288x64/float32 winner's 2048x12288 f32 output block is 96
+        MiB — Mosaic remote-compile fails even at the lifted limit).
+
+        The criterion is deliberately the LOOSEST the model admits —
+        footprint at the requested out dtype within the headroomed
+        physical-VMEM cap, i.e. "could any liftable limit fit it" — because
+        the static model overestimates Mosaic's real accounting: 43/44
+        stored winners that nominally exceed their own entry limit at f32
+        out passed the on-chip gate at f32 out unchanged
+        (eval_results/correctness_campaign_tpu.json).  Dispatch falls back
+        to the entry's sentinel only beyond this bound (never-fail)."""
+        if self.use_xla:
+            return True
+        fp = self.vmem_bytes(in_dtype, out_dtype=out_dtype, shape=(m, n, k))
+        return fp <= VMEM_MODEL_HEADROOM * VMEM_LIMIT_CAP
+
     # ---- derived quantities ----
     def grid_for(self, m: int, n: int, k: int) -> tuple:
         gm, gn, gk = cdiv(m, self.bm), cdiv(n, self.bn), cdiv(k, self.bk)

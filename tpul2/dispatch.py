@@ -137,6 +137,15 @@ def matmul(a: jax.Array, b: jax.Array, *,
     n = b.shape[1]
     if config is None:
         config = resolve_config(m, n, k, acc, a.dtype, mode=mode)
+        # out_dtype feasibility guard (never-fail): the DB winner was
+        # tuned at out_dtype=in_dtype; a wider requested output can push
+        # its output block past physical VMEM (config.serves_out_dtype).
+        # Serve such requests through the sentinel instead of surfacing a
+        # Mosaic compile error.  Only resolution-provided configs are
+        # guarded — an explicit ``config=`` is the caller's choice.
+        if not config.serves_out_dtype(m, n, k, a.dtype,
+                                       out_dtype or a.dtype):
+            config = KernelConfig.xla(config.xla_variant or "matmul")
     if config.use_xla:
         # Sentinel: the tuned XLA formulation (config.XLA_VARIANTS).  TN
         # variants consume b_t for free when the caller supplies it (the
