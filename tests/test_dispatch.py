@@ -308,3 +308,39 @@ def test_out_dtype_feasibility_guard(tmp_path, monkeypatch):
     out = tpul2.matmul(a, b, out_dtype=jnp.float32)
     assert out.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(out), _ref(a, b))
+
+
+def test_scavenge_sentinel_and_tuner_options(tmp_path, monkeypatch):
+    """Round-5 flag variant: 'scavenge_*' dispatches the plain f32-acc dot
+    (numerics identical); the TUNER's candidate builder must carry the
+    program-scope options so the timing chain measures the variant with
+    its flag (without it, flag sentinels time identically to the plain
+    dot and can only win by noise)."""
+    monkeypatch.setenv("TPUL2_TUNEDB", str(tmp_path / "db.json"))
+    db_mod.reset_default_db()
+    db = db_mod.default_db()
+    db.put(32, 128, 64, KernelConfig.xla("scavenge_nn"), tflops=1.0)
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.integers(0, 2, (32, 64)), jnp.bfloat16)
+    b = jnp.asarray(rng.integers(0, 2, (64, 128)), jnp.bfloat16)
+    b_t = jnp.swapaxes(b, 0, 1)
+    out = candidate_fn("float32")(a, b, b_t)
+    np.testing.assert_array_equal(np.asarray(out, np.float32), _ref(a, b))
+
+    from tpul2.autotune.search import _make_fn
+    from tpul2.ops.baselines import SCAVENGE_OPTIONS
+    fn = _make_fn(KernelConfig.xla("scavenge_tn"), jnp.float32,
+                  interpret=True)
+    assert fn._compiler_options == SCAVENGE_OPTIONS
+    np.testing.assert_array_equal(np.asarray(fn(a, b, b_t)), _ref(a, b))
+    # the family variant sets admit the pair (f32-acc dot in both)
+    from tpul2.config import XLA_VARIANTS_FOR_ACC
+    for acc in ("float32", "bfloat16"):
+        assert "scavenge_nn" in XLA_VARIANTS_FOR_ACC[acc]
+        assert "scavenge_tn" in XLA_VARIANTS_FOR_ACC[acc]
+    # native cache codec round-trips the new ids
+    from tpul2.native.build import _from_kernel_config, _to_kernel_config
+    for v in ("scavenge_nn", "scavenge_tn"):
+        cfg = KernelConfig.xla(v)
+        assert _to_kernel_config(
+            _from_kernel_config(cfg, "float32")).xla_variant == v

@@ -62,11 +62,23 @@ def _make_fn(cfg: KernelConfig, out_dtype, interpret):
     """Candidate as a uniform f(a, b, b_t) — the harness ABI (both RHS
     layouts supplied; the config decides which is consumed)."""
     if cfg.use_xla:
-        from tpul2.ops.baselines import XLA_VARIANT_FNS
+        from tpul2.ops.baselines import (XLA_VARIANT_COMPILER_OPTIONS,
+                                         XLA_VARIANT_FNS)
         raw = XLA_VARIANT_FNS[cfg.xla_variant]
 
         def f(a, b, b_t):
             return raw(a, b, b_t).astype(out_dtype)
+
+        jf = jax.jit(f)
+        opts = XLA_VARIANT_COMPILER_OPTIONS.get(cfg.xla_variant)
+        if opts:
+            # Flag-variant sentinels win through program-scope compiler
+            # options; the timing chain (make_chained_runner) applies them
+            # from this attribute.  Without it the tuner times nolhs_*/
+            # scavenge_* identically to the plain dot and can only ever
+            # select them by noise.
+            jf._compiler_options = opts
+        return jf
     elif cfg.pipeline_depth >= 2:
         from tpul2.ops.pipelined import pallas_matmul_pipelined
 

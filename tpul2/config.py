@@ -72,8 +72,13 @@ VMEM_LIMIT_FLOOR = 32 * 1024 * 1024
 #: plain f32-acc dot compiled with the latency-hiding scheduler disabled —
 #: measured the one consistently winning flag set on v5e
 #: (eval_results/probe_xla_flags_r4.jsonl).
+#: The round-5 'scavenge_*' pair enables XLA's VMEM scavenging for fusions
+#: — measured +6.0% on 8192^3 and >= 0.992 everywhere probed
+#: (eval_results/probe_xla_flags_r5.jsonl).  New names append (the native
+#: cache encodes the variant as its index here; ids must never reorder).
 XLA_VARIANTS = ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
-                "sameacc_nn", "sameacc_tn", "nolhs_nn", "nolhs_tn")
+                "sameacc_nn", "sameacc_tn", "nolhs_nn", "nolhs_tn",
+                "scavenge_nn", "scavenge_tn")
 
 #: Sentinel variants competing in each accumulator family.  The float32
 #: family (reference F32F16F16F32: C accumulated AND delivered in f32) may
@@ -88,7 +93,7 @@ XLA_VARIANTS = ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
 #: The bfloat16 family (F16F16F16F16 analogue) admits every formulation.
 XLA_VARIANTS_FOR_ACC = {
     "float32": ("matmul", "dot_nn", "dot_tn", "highest_nn", "highest_tn",
-                "nolhs_nn", "nolhs_tn"),
+                "nolhs_nn", "nolhs_tn", "scavenge_nn", "scavenge_tn"),
     "bfloat16": XLA_VARIANTS,
 }
 

@@ -99,6 +99,32 @@ xla_nolhs_nn._compiler_options = NOLHS_OPTIONS
 xla_nolhs_tn._compiler_options = NOLHS_OPTIONS
 
 
+# Round-5 flag variant (VERDICT r4 next-round #7): scripts/probe_xla_flags.py
+# swept 14 per-compilation flag sets over 8 band-representative shapes
+# (eval_results/probe_xla_flags_r5.jsonl).  VMEM scavenging for fusions is
+# the one big reproducible winner: +6.0% on 8192^3 (the round-4 MFU-gap
+# flagship), +1.3-2.0% across the other squares and streaming shapes,
+# never below 0.992.  The runners-up (expt_sched +3.7% / no_dot_sr +2.2%
+# on single shapes, mixed elsewhere) stay out of the measured set by the
+# same evidence standard that excluded vmem112m in round 4.
+SCAVENGE_OPTIONS = {"xla_tpu_scavenge_vmem_for_fusions": "true"}
+
+
+def xla_scavenge_nn(a, b, b_t):
+    """dot_general, f32 acc, VMEM scavenging for fusions enabled."""
+    return lax.dot_general(a, b, _NN_DIMS,
+                           preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def xla_scavenge_tn(a, b, b_t):
+    return lax.dot_general(a, b_t, _TN_DIMS,
+                           preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+xla_scavenge_nn._compiler_options = SCAVENGE_OPTIONS
+xla_scavenge_tn._compiler_options = SCAVENGE_OPTIONS
+
+
 # ---------------------------------------------------------------------------
 # Auto-tuned baseline: pick the best XLA formulation per shape.
 # Mirrors cuBLASLt auto-tuning's explicit pre-tune step
@@ -145,6 +171,11 @@ def _variants(layout: str):
         preferred_element_type=jnp.float32).astype(a.dtype)
     nolhs._compiler_options = NOLHS_OPTIONS
     vs["nolhs"] = nolhs
+    scavenge = lambda a, b, b_t: lax.dot_general(  # noqa: E731
+        a, pick(b, b_t), dims,
+        preferred_element_type=jnp.float32).astype(a.dtype)
+    scavenge._compiler_options = SCAVENGE_OPTIONS
+    vs["scavenge"] = scavenge
     return vs
 
 
@@ -279,6 +310,8 @@ LEAN_EVAL_FUNCS = {
     "xla_sameacc_tn": xla_sameacc_tn,
     "xla_nolhs_nn": xla_nolhs_nn,
     "xla_nolhs_tn": xla_nolhs_tn,
+    "xla_scavenge_nn": xla_scavenge_nn,
+    "xla_scavenge_tn": xla_scavenge_tn,
 }
 
 #: Variant sets backing each derived autotuned column — mirrors
@@ -286,11 +319,13 @@ LEAN_EVAL_FUNCS = {
 #: opposite-layout).
 AUTOTUNED_VARIANT_SETS = {
     "xla_autotuned_nn": ("xla_dot_nn", "xla_sameacc_nn", "xla_highest_nn",
-                         "xla_nolhs_nn", "xla_dot_tn", "xla_sameacc_tn",
-                         "xla_nolhs_tn"),
+                         "xla_nolhs_nn", "xla_scavenge_nn", "xla_dot_tn",
+                         "xla_sameacc_tn", "xla_nolhs_tn",
+                         "xla_scavenge_tn"),
     "xla_autotuned_tn": ("xla_dot_tn", "xla_sameacc_tn", "xla_highest_tn",
-                         "xla_nolhs_tn", "xla_dot_nn", "xla_sameacc_nn",
-                         "xla_nolhs_nn"),
+                         "xla_nolhs_tn", "xla_scavenge_tn", "xla_dot_nn",
+                         "xla_sameacc_nn", "xla_nolhs_nn",
+                         "xla_scavenge_nn"),
 }
 
 
@@ -325,6 +360,10 @@ XLA_VARIANT_FNS = {
         a, b, _NN_DIMS, preferred_element_type=jnp.float32),
     "nolhs_tn": lambda a, b, b_t: lax.dot_general(
         a, b_t, _TN_DIMS, preferred_element_type=jnp.float32),
+    "scavenge_nn": lambda a, b, b_t: lax.dot_general(
+        a, b, _NN_DIMS, preferred_element_type=jnp.float32),
+    "scavenge_tn": lambda a, b, b_t: lax.dot_general(
+        a, b_t, _TN_DIMS, preferred_element_type=jnp.float32),
 }
 
 #: Program-scope compiler options per sentinel variant (empty for most).
@@ -333,4 +372,6 @@ XLA_VARIANT_FNS = {
 XLA_VARIANT_COMPILER_OPTIONS = {
     "nolhs_nn": NOLHS_OPTIONS,
     "nolhs_tn": NOLHS_OPTIONS,
+    "scavenge_nn": SCAVENGE_OPTIONS,
+    "scavenge_tn": SCAVENGE_OPTIONS,
 }
