@@ -417,42 +417,65 @@ def cmd_eval(args) -> int:
                                   file=sys.stderr)
                 if tuned_any:
                     refresh_candidates()
-            try:
-                # giants get fewer trials: their per-trial runtime is long
-                # and their rows are less noise-prone (compute-bound)
-                trials = (max(2, args.trials - 1)
-                          if m * n * k >= (8192 ** 3) else args.trials)
-                res = eval_shape_lean(m, n, k, accs=accs,
-                                      trials=trials,
-                                      target_ms=args.target_ms,
-                                      db=db if args.mini_tune else None)
-                if args.mini_tune:
-                    # never-lose self-healing: demote losing configs to the
-                    # fastest screened sentinel and re-measure once
-                    from tpul2.harness.bench_suite import heal_entries_from_eval
-                    demoted = heal_entries_from_eval(db, m, n, k, accs,
-                                                     jnp.bfloat16, res)
-                    if demoted:
-                        print(f"{mnk}: healed {demoted}, re-measuring",
-                              file=sys.stderr)
-                        refresh_candidates()
-                        res = eval_shape_lean(m, n, k, accs=accs,
-                                              trials=trials,
-                                              target_ms=args.target_ms,
-                                              db=None)
-            except Exception as e:
-                print(f"{mnk}: FAILED {type(e).__name__}: {e}",
-                      file=sys.stderr)
-                if args.fail_fast:
-                    return 1
-                # campaign mode: record the failure and keep going — one
-                # infeasible giant must not end a 1,000-shape run (the
-                # reference's 3090 CSV similarly just omits its 264
-                # infeasible shapes, SURVEY.md §6)
-                with detail.with_suffix(".failures").open("a") as ff:
-                    ff.write(f"{mnk}\t{type(e).__name__}: {e}\n")
-                for acc in accs:
-                    done_sets[acc].add(mnk)
+            res = None
+            for attempt in range(2):
+                try:
+                    # giants get fewer trials: their per-trial runtime is
+                    # long and their rows are less noise-prone
+                    # (compute-bound)
+                    trials = (max(2, args.trials - 1)
+                              if m * n * k >= (8192 ** 3) else args.trials)
+                    res = eval_shape_lean(m, n, k, accs=accs,
+                                          trials=trials,
+                                          target_ms=args.target_ms,
+                                          db=db if args.mini_tune else None)
+                    if args.mini_tune:
+                        # never-lose self-healing: demote losing configs to
+                        # the fastest screened sentinel and re-measure once
+                        from tpul2.harness.bench_suite import \
+                            heal_entries_from_eval
+                        demoted = heal_entries_from_eval(db, m, n, k, accs,
+                                                         jnp.bfloat16, res)
+                        if demoted:
+                            print(f"{mnk}: healed {demoted}, re-measuring",
+                                  file=sys.stderr)
+                            refresh_candidates()
+                            res = eval_shape_lean(m, n, k, accs=accs,
+                                                  trials=trials,
+                                                  target_ms=args.target_ms,
+                                                  db=None)
+                    break
+                except Exception as e:
+                    print(f"{mnk}: FAILED {type(e).__name__}: {e}",
+                          file=sys.stderr)
+                    res = None
+                    # A stored Pallas winner that cannot compile on this
+                    # device would otherwise drop the row from the campaign
+                    # FOREVER (the shape is recorded as done below) —
+                    # demote it to the fastest screened sentinel and retry
+                    # the eval once (VERDICT r4 next-round #4).
+                    if attempt == 0 and args.mini_tune:
+                        from tpul2.harness.bench_suite import \
+                            demote_uncompilable_entries
+                        fixed = demote_uncompilable_entries(
+                            db, m, n, k, accs)
+                        if fixed:
+                            print(f"{mnk}: demoted uncompilable {fixed}, "
+                                  f"retrying eval", file=sys.stderr)
+                            refresh_candidates()
+                            continue
+                    if args.fail_fast:
+                        return 1
+                    # campaign mode: record the failure and keep going —
+                    # one infeasible giant must not end a 1,000-shape run
+                    # (the reference's 3090 CSV similarly just omits its
+                    # 264 infeasible shapes, SURVEY.md §6)
+                    with detail.with_suffix(".failures").open("a") as ff:
+                        ff.write(f"{mnk}\t{type(e).__name__}: {e}\n")
+                    for acc in accs:
+                        done_sets[acc].add(mnk)
+                    break
+            if res is None:
                 continue
             for acc in accs:
                 if mnk in done_sets[acc]:

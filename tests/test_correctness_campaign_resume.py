@@ -49,3 +49,24 @@ def test_retry_verdict_supersedes_transient_failure():
 
 def test_garbage_lines_ignored():
     assert load_done("not json\n{broken") == set()
+
+
+def test_config_aware_resume_invalidates_retuned_winner():
+    """A verdict belongs to the config it ran against: retuning a shape
+    re-opens it even though its key passed (round-5 campaign semantics)."""
+    from scripts.correctness_campaign_tpu import (load_latest_configs,
+                                                  verdict_covers)
+    key = ("64x64x64", "float32")
+    cfg_old = {"bm": 64, "bn": 64, "bk": 64, "use_xla": False}
+    cfg_new = {"bm": 128, "bn": 64, "bk": 64, "use_xla": False}
+    text = json.dumps({"mnk": key[0], "acc": key[1], "pass": True,
+                       "config": cfg_old})
+    done, latest = load_done(text), load_latest_configs(text)
+    assert verdict_covers(done, latest, key, cfg_old)
+    assert not verdict_covers(done, latest, key, cfg_new)
+    # legacy records (no config field) count by key alone
+    legacy = _line(*key, True)
+    assert verdict_covers(load_done(legacy), load_latest_configs(legacy),
+                          key, cfg_new)
+    # a key never recorded is not covered regardless of config
+    assert not verdict_covers(set(), {}, key, cfg_old)

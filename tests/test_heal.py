@@ -209,3 +209,65 @@ def test_server_subentry_survives_save_load(tmp_path):
     db2 = TuneDB(path=tmp_path / "db.json").load()
     srv = db2.get_server_entry(64, 64, 64, "bfloat16")
     assert srv["config"]["xla_variant"] == "sameacc_nn"
+
+
+def test_demote_to_fastest_sentinel_records_provenance(tmp_path):
+    """VERDICT r4 #4: a persistently-failing winner is replaced by a real
+    sentinel race (tune_shape over the sentinel-only candidate set), with
+    demoted_from/demotion_reason provenance."""
+    from tpul2.harness.bench_suite import demote_to_fastest_sentinel
+
+    db = TuneDB(path=tmp_path / "db.json")
+    bad = KernelConfig(bm=32, bn=32, bk=32)
+    db.put(64, 64, 64, bad, tflops=1.0, extra={"speedup_vs_xla": 1.2})
+    v = demote_to_fastest_sentinel(db, 64, 64, 64, "float32",
+                                   reason="test: persistent failure")
+    assert v is not None
+    entry = db.get_entry(64, 64, 64, "float32")
+    assert entry["config"]["use_xla"]
+    assert entry["config"]["xla_variant"] == v
+    assert entry["demoted_from"]["bm"] == 32
+    assert entry["demotion_reason"] == "test: persistent failure"
+    assert entry["scope"] == "compile_demote"
+    # persisted, not just in memory
+    db2 = TuneDB(path=tmp_path / "db.json").load()
+    assert db2.get_entry(64, 64, 64, "float32")["config"]["use_xla"]
+
+
+def test_demote_uncompilable_entries(tmp_path, monkeypatch):
+    """A stored Pallas winner that cannot run on this device is demoted;
+    sentinel entries are left alone (they cannot 'fail to compile' in a
+    config-specific way)."""
+    import time as _time
+
+    import tpul2.autotune.search as search
+    from tpul2.harness.bench_suite import demote_uncompilable_entries
+
+    db = TuneDB(path=tmp_path / "db.json")
+    db.put(64, 64, 64, KernelConfig(bm=32, bn=32, bk=32), tflops=99.0,
+           extra={"speedup_vs_xla": 9.9})
+    db.put(64, 64, 64, KernelConfig.xla("dot_nn"), tflops=1.0,
+           acc="bfloat16", extra={"speedup_vs_xla": 1.0})
+
+    real = search._make_fn
+
+    def fake(cfg, out_dtype, interpret):
+        if not cfg.use_xla:
+            def boom(a, b, b_t):
+                raise RuntimeError("remote_compile: HTTP 500 (simulated)")
+            return boom
+        return real(cfg, out_dtype, interpret)
+
+    monkeypatch.setattr(search, "_make_fn", fake)
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    demoted = demote_uncompilable_entries(db, 64, 64, 64,
+                                          ["float32", "bfloat16"])
+    assert demoted == ["float32"]
+    entry = db.get_entry(64, 64, 64, "float32")
+    assert entry["config"]["use_xla"]
+    assert entry["demotion_reason"].startswith(
+        "on-device compile/run failure")
+    assert entry["demoted_from"]["bm"] == 32
+    # the sentinel bfloat16 entry is untouched
+    assert db.get_entry(64, 64, 64, "bfloat16")["config"]["xla_variant"] \
+        == "dot_nn"

@@ -425,6 +425,89 @@ def heal_entries_from_eval(db, m: int, n: int, k: int, accs, in_dtype,
     return demoted
 
 
+def demote_to_fastest_sentinel(db, m: int, n: int, k: int, acc: str,
+                               reason: str,
+                               in_dtype=jnp.bfloat16) -> Optional[str]:
+    """Replace the stored winner with the fastest exactness-screened XLA
+    sentinel, measured fresh on this device (VERDICT r4 next-round #4: a
+    Pallas winner that persistently fails on-chip must be demoted, never
+    served).  The race is ``tune_shape`` over the sentinel-only candidate
+    set (``max_candidates=0`` — config.candidate_configs always includes
+    every family-admissible formulation), so selection methodology and the
+    0/1 screen are identical to a full tune.  Records ``demoted_from`` /
+    ``demotion_reason``.  Returns the adopted variant name, or None if the
+    race itself failed (e.g. a compile-service outage — the broken entry
+    is then left for a later pass rather than blindly rewritten)."""
+    from tpul2.autotune.search import tune_shape
+
+    old = db.get_entry(m, n, k, acc, in_dtype)
+    old_cfg = dict(old["config"]) if old else None
+    try:
+        res = tune_shape(m, n, k, acc=acc, in_dtype=in_dtype, db=db,
+                         max_candidates=0, stage1_rounds=3, stage2_rounds=8,
+                         finalists=4, save=True)
+    except Exception:
+        return None
+    entry = db.get_entry(m, n, k, acc, in_dtype)
+    entry["demoted_from"] = old_cfg
+    entry["demotion_reason"] = reason
+    entry["scope"] = "compile_demote"
+    db.save()
+    return res.best.xla_variant
+
+
+def demote_uncompilable_entries(db, m: int, n: int, k: int, accs,
+                                in_dtype=jnp.bfloat16) -> list:
+    """After an eval failure: demote stored Pallas winners that fail to
+    compile/run ON THIS DEVICE, so the shape's row can be measured instead
+    of being dropped from the campaign forever (run_suite records a failed
+    shape as done).  Fires only when a trivial program still executes (the
+    failure is config-specific, not a pool outage); each config gets one
+    retry after a pause before the verdict.  Returns the demoted accs."""
+    import jax
+
+    try:  # pool-alive canary (CLAUDE.md protocol)
+        float(jax.device_get((jnp.ones((8, 128)) * 2)[0, 0]))
+    except Exception:
+        return []
+
+    from tpul2.autotune.search import _make_fn
+    from tpul2.config import KernelConfig
+
+    demoted = []
+    for acc in accs:
+        entry = db.get_entry(m, n, k, acc, in_dtype)
+        if entry is None or entry["config"].get("use_xla"):
+            continue
+        cfg = KernelConfig(**entry["config"])
+        f32_ok = cfg.serves_out_dtype(m, n, k, in_dtype, jnp.float32)
+        out_dt = jnp.float32 if (acc == "float32" and f32_ok) \
+            else jnp.bfloat16
+        a = jnp.zeros((m, k), in_dtype)
+        b = jnp.zeros((k, n), in_dtype)
+        b_t = jnp.swapaxes(b, 0, 1)
+        err = None
+        for attempt in range(2):
+            try:
+                fn = _make_fn(cfg, out_dt, interpret=False)
+                float(jax.device_get(fn(a, b, b_t)[0, 0]))
+                err = None
+                break
+            except Exception as e:
+                err = f"{type(e).__name__}: {str(e)[:160]}"
+                if attempt == 0:
+                    time.sleep(20)
+        if err is None:
+            continue
+        variant = demote_to_fastest_sentinel(
+            db, m, n, k, acc,
+            reason=f"on-device compile/run failure: {err}",
+            in_dtype=in_dtype)
+        if variant is not None:
+            demoted.append(acc)
+    return demoted
+
+
 def eval_shape_lean(m: int, n: int, k: int,
                     accs: Sequence[str] = ("float32",),
                     in_dtype=jnp.bfloat16,
