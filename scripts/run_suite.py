@@ -101,12 +101,25 @@ def _load_done(path: Path) -> set:
 def _repair_csv(path: Path, threshold: float = 0.97,
                 ratio_cap: float = 2.5, max_loss_repairs: int = 1,
                 max_inconsistent_repairs: int = 3,
-                any_col_floor: float = 0.90) -> set:
+                any_col_floor: float = 0.90,
+                implausible_ceiling: float = 0.5,
+                iqr_invalid: float = 1.0) -> set:
     """Drop tainted rows from a campaign CSV so they are re-evaluated.
 
-    Two taint classes, with different retry policies (ADVICE r2 medium #2:
-    an unbounded retry-until-win loop on loss rows censors the noise
+    Three taint classes, with different retry policies (ADVICE r2 medium
+    #2: an unbounded retry-until-win loop on loss rows censors the noise
     distribution, making 'zero losses' partly selection bias):
+
+      implausible taint — EVERY speedup column < ``implausible_ceiling``,
+        or the row's own ``iqr_rel`` > ``iqr_invalid``.  Dispatch always
+        has the XLA sentinels in its candidate set, so a winner that is
+        simultaneously 2x+ slower than every XLA formulation is not a
+        measurement of the kernel — it is a stall (multi-second fence or
+        recompile) landing inside the candidate's trials.  Because the
+        stall hits the candidate, all columns sink TOGETHER and the
+        ratio_cap inconsistency test cannot see it (observed round 5:
+        64x128x64 published at 0.0054x with iqr_rel 3.9).  Re-measured up
+        to ``max_inconsistent_repairs`` times, then kept as-is.
 
       loss taint — the candidate lost to ``jnp.matmul`` beyond the noise
         band (< threshold) or >10% to ANY column.  A row is re-measured
@@ -147,16 +160,22 @@ def _repair_csv(path: Path, threshold: float = 0.97,
         if not vals:
             continue
         inconsistent = max(vals) / min(vals) > ratio_cap
+        implausible = (max(vals) < implausible_ceiling
+                       or float(r.get("iqr_rel") or 0.0) > iqr_invalid)
         # any_col_floor mirrors the heal gate: a row losing beyond it to
         # ANY published column gets its one journaled re-measure through
         # the heal path (the never-lose contract covers every column,
         # VERDICT r2 next-round #2)
         lossy = (float(r["jnp.matmul"]) < threshold
                  or min(vals) < any_col_floor)
-        if not (inconsistent or lossy):
+        if not (inconsistent or lossy or implausible):
             continue  # clean rows never enter the journal
         rec = journal.setdefault(r["mnk"], {"loss": 0, "inconsistent": 0})
-        if inconsistent and rec["inconsistent"] < max_inconsistent_repairs:
+        if implausible and rec.setdefault("implausible", 0) \
+                < max_inconsistent_repairs:
+            rec["implausible"] += 1
+            dropped.add(r["mnk"])
+        elif inconsistent and rec["inconsistent"] < max_inconsistent_repairs:
             rec["inconsistent"] += 1
             dropped.add(r["mnk"])
         elif lossy and not inconsistent and rec["loss"] < max_loss_repairs:

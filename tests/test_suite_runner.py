@@ -199,6 +199,47 @@ def test_repair_drops_tainted_rows(tmp_path):
     assert rs._repair_csv(p, threshold=0.97) == set()
 
 
+def test_repair_implausible_rows_bypass_loss_cap(tmp_path):
+    """A stall inside the candidate's trials sinks EVERY column together,
+    which the ratio_cap test cannot see and the 1-shot loss budget cannot
+    fix (observed round 5: a server row published at 0.0054x with iqr_rel
+    3.9).  Such rows are measurement failures, not measurements — they get
+    the inconsistency-class repair budget even when the loss budget is
+    already exhausted."""
+    import json
+
+    p = tmp_path / "suite.csv"
+    cols = rs.CSV_COLUMNS + ["iqr_rel", "quality"]
+
+    def write(rows):
+        with p.open("w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=cols)
+            w.writeheader()
+            w.writerows(rows)
+
+    base = {c: "1.05" for c in cols[1:]}
+    base["iqr_rel"] = "0.05"
+    base["quality"] = "ok"
+    stall = dict(base, mnk="64x128x64", iqr_rel="3.9",
+                 **{c: "0.0054" for c in rs.CSV_COLUMNS[1:]})
+    jitter = dict(base, mnk="64x256x64", iqr_rel="21.6")  # cols fine, IQR mad
+    # loss budget already exhausted for both shapes
+    (tmp_path / "suite.csv.repairs.json").write_text(json.dumps(
+        {"64x128x64": {"loss": 1, "inconsistent": 0},
+         "64x256x64": {"loss": 1, "inconsistent": 0}}))
+
+    write([dict(base, mnk="64x64x64"), stall, jitter])
+    assert rs._repair_csv(p) == {"64x128x64", "64x256x64"}
+
+    # bounded: after max_inconsistent_repairs (3) drops, the row is kept
+    for expect in ({"64x128x64"}, {"64x128x64"}, set()):
+        write([dict(base, mnk="64x64x64"), stall])
+        assert rs._repair_csv(p) == expect
+    with p.open() as f:
+        assert {r["mnk"] for r in csv.DictReader(f)} \
+            == {"64x64x64", "64x128x64"}
+
+
 def test_eval_explicit_shapes(tmp_path, monkeypatch):
     calls = []
 
